@@ -1,0 +1,221 @@
+"""Geometry unit tests: closed-form cases + torch parity for the tricky ops."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgam_neurips22_tpu.geometry import (
+    CLEVR_CODEC,
+    GOOGLE_EARTH_CODEC,
+    cam2pixel,
+    euler2mat,
+    grid_sample_bilinear,
+    grid_sample_nearest,
+    make_intrinsics,
+    median_blur_3x3,
+    pixel2cam,
+    pose_matrix,
+    ray_depth_to_z,
+    relative_transform,
+    render_projection_from_srcs,
+    z_depth_to_ray,
+)
+
+
+def rand_pose(rng):
+    angle = rng.uniform(-0.3, 0.3, size=(1, 3)).astype(np.float32)
+    r = np.asarray(euler2mat(jnp.asarray(angle)))[0]
+    t = rng.uniform(-0.5, 0.5, size=3).astype(np.float32)
+    return np.asarray(pose_matrix(jnp.asarray(r)[None], jnp.asarray(t)[None]))[0]
+
+
+def test_pixel2cam_roundtrip():
+    rng = np.random.default_rng(0)
+    k = make_intrinsics(100.0, 100.0, 15.5, 15.5)
+    depth = jnp.asarray(rng.uniform(2.0, 10.0, size=(2, 32, 32)).astype(np.float32))
+    pts = pixel2cam(depth, jnp.linalg.inv(k)[None].repeat(2, axis=0))
+    assert pts.shape == (2, 32, 32, 3)
+    # z component is the depth itself
+    np.testing.assert_allclose(np.asarray(pts[..., 2]), np.asarray(depth), rtol=1e-5)
+    # project back with identity pose
+    rot = k[None].repeat(2, axis=0)
+    coords, z = cam2pixel(pts, rot, jnp.zeros((2, 3)))
+    np.testing.assert_allclose(np.asarray(z), np.asarray(depth), rtol=1e-5)
+    # normalized coords must land exactly on the pixel lattice
+    x_norm = np.asarray(coords[..., 0])
+    expect = 2 * np.arange(32) / 31 - 1
+    np.testing.assert_allclose(x_norm[0, 0], expect, atol=1e-5)
+
+
+def test_relative_transform_composition():
+    rng = np.random.default_rng(1)
+    t_a = jnp.asarray(rand_pose(rng))[None]
+    t_b = jnp.asarray(rand_pose(rng))[None]
+    rel = relative_transform(t_a, t_b)
+    np.testing.assert_allclose(
+        np.asarray(rel @ t_b), np.asarray(t_a), atol=1e-5
+    )
+
+
+def test_ray_z_depth_roundtrip():
+    rng = np.random.default_rng(2)
+    k = make_intrinsics(355.5555, 355.5555, 128.0, 128.0)
+    d = jnp.asarray(rng.uniform(7, 16, size=(256, 256)).astype(np.float32))
+    back = z_depth_to_ray(ray_depth_to_z(d, k), k)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(d), rtol=1e-5)
+
+
+def test_median_blur_matches_torch_lower_median():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    ours = np.asarray(median_blur_3x3(jnp.asarray(x)))
+
+    # reference: conv-unfold + torch.median (warp.py:306-347)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    b, c, h, w = xt.shape
+    kernel = torch.zeros(9, 9)
+    for i in range(9):
+        kernel[i, i] = 1.0
+    kernel = kernel.view(9, 1, 3, 3)
+    feats = torch.nn.functional.conv2d(
+        xt.reshape(b * c, 1, h, w), kernel, padding=1, stride=1
+    ).view(b, c, -1, h, w)
+    med = torch.median(feats, dim=2)[0].permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, med, atol=1e-6)
+
+
+def test_depth_codecs_roundtrip_and_anchors():
+    for codec in (CLEVR_CODEC, GOOGLE_EARTH_CODEC):
+        lo, hi = codec.depth_range
+        d = jnp.linspace(lo, hi, 64)
+        disp = codec.encode(d)
+        assert float(disp.max()) <= 1.0 + 1e-5
+        assert float(disp.min()) >= -1.0 - 1e-5
+        np.testing.assert_allclose(np.asarray(codec.decode(disp)), np.asarray(d), rtol=1e-4)
+    # near depth -> disparity +1, far -> -1 (model.py:210-229)
+    np.testing.assert_allclose(float(CLEVR_CODEC.encode(jnp.asarray(7.0))), 1.0, atol=1e-5)
+    np.testing.assert_allclose(float(CLEVR_CODEC.encode(jnp.asarray(16.0))), -1.0, atol=1e-5)
+
+
+def test_encode_masked_writes_minus_two():
+    d = jnp.full((4, 4), 10.0)
+    mask = jnp.zeros((4, 4), bool).at[0, 0].set(True)
+    out = CLEVR_CODEC.encode_masked(d, mask)
+    assert float(out[0, 0]) == -2.0
+    assert float(out[1, 1]) != -2.0
+
+
+def test_splat_identity_pose_reproduces_source():
+    """Splatting a single source onto itself must reproduce it exactly."""
+    rng = np.random.default_rng(4)
+    h = w = 32
+    k = make_intrinsics(20.0, 20.0, (w - 1) / 2, (h - 1) / 2)
+    depth = rng.uniform(8.0, 12.0, size=(1, 1, h, w)).astype(np.float32)
+    feats = rng.uniform(-1, 1, size=(1, 1, h, w, 3)).astype(np.float32)
+    res = render_projection_from_srcs(
+        jnp.asarray(feats),
+        jnp.asarray(depth),
+        k[None],
+        k[None, None],
+        jnp.eye(4)[None, None],
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.features[0]), feats[0, 0], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.depth[0, ..., 0]), depth[0, 0], rtol=1e-4
+    )
+    assert not bool(res.extrapolation_mask.any())
+
+
+def test_splat_nearest_beats_farther_point():
+    """Two sources putting different-depth points on the same pixel: the
+    nearer one must win in 'nearest' mode."""
+    h = w = 8
+    k = make_intrinsics(10.0, 10.0, (w - 1) / 2, (h - 1) / 2)
+    near = np.full((h, w), 5.0, np.float32)
+    far = np.full((h, w), 9.0, np.float32)
+    depth = np.stack([far, near])[None]  # far source first
+    feats = np.zeros((1, 2, h, w, 3), np.float32)
+    feats[0, 0] = 0.25  # far
+    feats[0, 1] = 0.75  # near
+    res = render_projection_from_srcs(
+        jnp.asarray(feats),
+        jnp.asarray(depth),
+        k[None],
+        jnp.stack([k, k])[None],
+        jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
+        collision="nearest",
+    )
+    # identity pose => each pixel sees both points; near (0.75) must win
+    assert np.allclose(np.asarray(res.features), 0.75)
+    # 'last' mode reproduces reference serial semantics: later source wins
+    res_last = render_projection_from_srcs(
+        jnp.asarray(feats),
+        jnp.asarray(depth),
+        k[None],
+        jnp.stack([k, k])[None],
+        jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
+        collision="last",
+    )
+    assert np.allclose(np.asarray(res_last.features), 0.75)  # src 1 is last
+    np.testing.assert_allclose(np.asarray(res_last.depth), 5.0, rtol=1e-5)
+
+
+def test_splat_depth_range_masks_extrapolation():
+    h = w = 16
+    k = make_intrinsics(10.0, 10.0, (w - 1) / 2, (h - 1) / 2)
+    depth = np.full((1, 1, h, w), 20.0, np.float32)  # beyond range hi
+    feats = np.full((1, 1, h, w, 3), 0.5, np.float32)
+    res = render_projection_from_srcs(
+        jnp.asarray(feats),
+        jnp.asarray(depth),
+        k[None],
+        k[None, None],
+        jnp.eye(4)[None, None],
+        depth_range=(7.0, 16.0),
+    )
+    assert bool(res.extrapolation_mask.all())
+    assert np.allclose(np.asarray(res.features), 0.0)
+
+
+def test_splat_src_mask_excludes_padded_source():
+    h = w = 8
+    k = make_intrinsics(10.0, 10.0, (w - 1) / 2, (h - 1) / 2)
+    depth = np.stack(
+        [np.full((h, w), 5.0, np.float32), np.full((h, w), 3.0, np.float32)]
+    )[None]
+    feats = np.zeros((1, 2, h, w, 3), np.float32)
+    feats[0, 0] = 0.5
+    feats[0, 1] = -0.9  # masked-out source
+    res = render_projection_from_srcs(
+        jnp.asarray(feats),
+        jnp.asarray(depth),
+        k[None],
+        jnp.stack([k, k])[None],
+        jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4)),
+        src_masks=jnp.asarray([[1.0, 0.0]]),
+    )
+    assert np.allclose(np.asarray(res.features), 0.5)
+
+
+def test_grid_sample_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(2, 12, 10, 3)).astype(np.float32)
+    grid = rng.uniform(-1.3, 1.3, size=(2, 7, 9, 2)).astype(np.float32)
+
+    for mode, fn in (("nearest", grid_sample_nearest), ("bilinear", grid_sample_bilinear)):
+        ours = np.asarray(fn(jnp.asarray(img), jnp.asarray(grid)))
+        theirs = (
+            torch.nn.functional.grid_sample(
+                torch.from_numpy(img).permute(0, 3, 1, 2),
+                torch.from_numpy(grid),
+                mode=mode,
+                padding_mode="zeros",
+                align_corners=False,
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(ours, theirs, atol=2e-5, err_msg=mode)
