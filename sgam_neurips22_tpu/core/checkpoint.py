@@ -1,0 +1,75 @@
+"""Checkpoint save/restore (Orbax) + emergency/signal checkpointing.
+
+Replaces the reference's Lightning checkpoint stack (SURVEY.md section 5.4):
+- `ModelCheckpoint` top-k + save_last (train CLI)
+- `CheckpointEveryNSteps` (data/utils/utils.py:34-72)
+- SIGUSR1/crash 'melk' emergency save
+  (train_generative_sensing_model.py:204-225)
+
+State is a plain pytree: {params, opt_state(s), step, ...}. Atomicity and
+async writes come from Orbax.
+"""
+from __future__ import annotations
+
+import os
+import signal
+from typing import Any, Callable, Optional
+
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin wrapper over orbax CheckpointManager with step-interval and
+    keep-last-k policies."""
+
+    def __init__(
+        self,
+        directory: str,
+        save_interval_steps: int = 10_000,
+        max_to_keep: int = 3,
+    ):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                save_interval_steps=save_interval_steps,
+                max_to_keep=max_to_keep,
+                create=True,
+            ),
+        )
+
+    def save(self, step: int, state: Any, force: bool = False) -> bool:
+        return self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+
+    def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(state_like)
+        )
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.close()
+
+
+def install_signal_checkpoint(save_fn: Callable[[], None]) -> None:
+    """SIGUSR1/SIGTERM -> emergency checkpoint (the reference's `melk`
+    handler, train_generative_sensing_model.py:204-217; SIGTERM added for
+    TPU preemption)."""
+
+    def handler(signum, frame):
+        print(f"signal {signum}: writing emergency checkpoint")
+        save_fn()
+
+    signal.signal(signal.SIGUSR1, handler)
+    signal.signal(signal.SIGTERM, handler)

@@ -1,0 +1,159 @@
+"""Vector quantization: nearest-codeword VQ + top-k stochastic sampling.
+
+Rebuild of reference modules/vqvae/quantize.py `VectorQuantizer2`
+(:213-381): L2-nearest codeword via the expanded-distance matmul (MXU
+friendly: one [BHW, D] x [D, K] matmul dominates), straight-through
+estimator, legacy commitment loss (beta on the second term, :296-301),
+`update_codebook` for online k-means refresh (:321-325), and
+`get_multiple_codewords` top-k categorical sampling (:344-381).
+
+Known reference bug (SURVEY.md section 2.5): the reference samples every
+latent position from position 0's top-k distribution
+(`min_encoding_dist[0]`, quantize.py:358). Here each position samples from
+its own distribution; `topk=1` is deterministic argmin in both codebases so
+the parity mode (the inference CLI default) is unaffected.
+
+A fused Pallas distance+argmin kernel for large codebooks lives in
+ops/vq_pallas.py; this module is the XLA reference implementation.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizeResult(NamedTuple):
+    z_q: jnp.ndarray  # [B, h, w, D] straight-through quantized latents
+    loss: jnp.ndarray  # scalar codebook + commitment loss
+    indices: jnp.ndarray  # [B, h, w] int32 codeword ids
+
+
+def init_codebook(key, n_embed: int, embed_dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """uniform(-1/n, 1/n) init (reference quantize.py:232)."""
+    return jax.random.uniform(
+        key, (n_embed, embed_dim), dtype, -1.0 / n_embed, 1.0 / n_embed
+    )
+
+
+def codeword_distances(z_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """Squared L2 distances [P, K] = |z|^2 + |e|^2 - 2 z.e
+    (reference quantize.py:285-288). fp32 accumulation — bf16 matmul would
+    break argmin ties."""
+    z32 = z_flat.astype(jnp.float32)
+    e32 = codebook.astype(jnp.float32)
+    return (
+        jnp.sum(z32**2, axis=1, keepdims=True)
+        + jnp.sum(e32**2, axis=1)[None, :]
+        - 2.0 * jnp.dot(z32, e32.T, preferred_element_type=jnp.float32)
+    )
+
+
+def quantize(
+    codebook: jnp.ndarray,
+    z: jnp.ndarray,
+    beta: float = 0.25,
+    encoding_indices: jnp.ndarray | None = None,
+) -> QuantizeResult:
+    """Standard straight-through VQ (reference quantize.py:275-319).
+
+    Args:
+      codebook: [K, D]; z: [B, h, w, D].
+      encoding_indices: optional [B, h, w] to bypass the nearest search.
+    """
+    b, h, w, d = z.shape
+    if encoding_indices is None:
+        dist = codeword_distances(z.reshape(-1, d), codebook)
+        indices = jnp.argmin(dist, axis=1).reshape(b, h, w)
+    else:
+        indices = encoding_indices
+    z_q = codebook[indices].astype(z.dtype)
+    # legacy loss form (quantize.py:300-301): beta multiplies the
+    # codebook-update term.
+    loss = jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2) + beta * jnp.mean(
+        (z_q - jax.lax.stop_gradient(z)) ** 2
+    )
+    z_q = z + jax.lax.stop_gradient(z_q - z)
+    return QuantizeResult(z_q=z_q, loss=loss, indices=indices.astype(jnp.int32))
+
+
+def resize_mask_nearest(mask: jnp.ndarray, h_out: int, w_out: int) -> jnp.ndarray:
+    """Nearest-neighbor mask resize matching torch F.interpolate(mode='nearest')
+    (reference quantize.py:345 resizes the extrapolation mask to the latent
+    grid): out[i] = in[floor(i * H_in / H_out)]."""
+    b, h_in, w_in = mask.shape[:3]
+    ys = jnp.floor(jnp.arange(h_out) * (h_in / h_out)).astype(jnp.int32)
+    xs = jnp.floor(jnp.arange(w_out) * (w_in / w_out)).astype(jnp.int32)
+    return mask[:, ys][:, :, xs]
+
+
+class TopKSampleResult(NamedTuple):
+    z_q: jnp.ndarray  # [B, S, h, w, D]
+    indices: jnp.ndarray  # [B, S, h, w]
+
+
+def quantize_topk(
+    codebook: jnp.ndarray,
+    z: jnp.ndarray,
+    rng: jax.Array,
+    topk: int,
+    sample_number: int = 1,
+    extrapolation_mask: jnp.ndarray | None = None,
+    temperature: float = 1.0,
+) -> TopKSampleResult:
+    """Top-k stochastic codeword sampling (reference quantize.py:344-381).
+
+    Per latent position: take the k nearest codewords, sample
+    ``sample_number`` draws from softmax(-d/T) over them — except positions
+    that are *visible* in the warped conditioning (extrapolation_mask False),
+    which deterministically take the nearest codeword (reference :364-367).
+    One fused distance matmul + top_k + categorical; no Python loops.
+
+    Args:
+      z: [B, h, w, D] pre-quantized latents.
+      extrapolation_mask: [B, H, W] or [B, H, W, 1] bool at image resolution
+        (True = unseen region, free to sample).
+    """
+    b, h, w, d = z.shape
+    dist = codeword_distances(z.reshape(-1, d), codebook)  # [P, K]
+    neg_topk, top_idx = jax.lax.top_k(-dist, topk)  # [P, k] nearest first
+    logits = neg_topk / temperature
+    draws = jax.random.categorical(
+        rng, logits[:, None, :], axis=-1, shape=(b * h * w, sample_number)
+    )  # [P, S] positions in 0..k-1
+    sampled = jnp.take_along_axis(top_idx, draws, axis=1)  # [P, S]
+
+    if extrapolation_mask is not None:
+        m = extrapolation_mask
+        if m.ndim == 4:
+            m = m[..., 0]
+        m = resize_mask_nearest(m.astype(jnp.float32), h, w) > 0.0
+        free = m.reshape(-1, 1)  # True = sample; False = take argmin
+        sampled = jnp.where(free, sampled, top_idx[:, :1])
+
+    sampled = sampled.reshape(b, h, w, sample_number)
+    z_q = codebook[sampled].astype(z.dtype)  # [B, h, w, S, D]
+    z_q = jnp.moveaxis(z_q, 3, 1)  # [B, S, h, w, D]
+    indices = jnp.moveaxis(sampled, 3, 1).astype(jnp.int32)
+    return TopKSampleResult(z_q=z_q, indices=indices)
+
+
+def embed_code(codebook: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Codeword lookup (reference quantize.py:327-342), NHWC output."""
+    return codebook[indices]
+
+
+def update_codebook(
+    codebook: jnp.ndarray, features: jnp.ndarray, indices: jnp.ndarray
+) -> jnp.ndarray:
+    """Replace rows `indices` with `features` (online k-means refresh,
+    reference quantize.py:321-325)."""
+    return codebook.at[indices].set(features.astype(codebook.dtype))
+
+
+def codebook_usage(indices: jnp.ndarray, n_embed: int) -> jnp.ndarray:
+    """Per-codeword usage counts (on-device histogram; reference tracks this
+    host-side in model.py:313-323 / :357-376)."""
+    flat = indices.reshape(-1)
+    return jnp.zeros((n_embed,), jnp.int32).at[flat].add(1)

@@ -1,0 +1,119 @@
+"""Checkpoint conversion tests: torch-name round trip + non-strict merge."""
+import jax
+import numpy as np
+import pytest
+
+from sgam_neurips22_tpu.core.torch_convert import (
+    convert_state_dict,
+    init_from_ckpt,
+    params_to_state_dict,
+)
+from sgam_neurips22_tpu.models import DDConfig, VQModelConfig, init_vqmodel
+
+TINY = VQModelConfig(
+    ddconfig=DDConfig(
+        ch=16, out_ch=4, ch_mult=(1, 2), num_res_blocks=1,
+        attn_resolutions=(8,), resolution=16, z_channels=16, in_channels=4,
+    ),
+    n_embed=32,
+    embed_dim=16,
+)
+
+
+def tree_paths(node, path=""):
+    if isinstance(node, dict):
+        for k, v in node.items():
+            yield from tree_paths(v, f"{path}.{k}" if path else k)
+    elif isinstance(node, list):
+        for i, v in enumerate(node):
+            yield from tree_paths(v, f"{path}.{i}")
+    elif node is not None:
+        yield path, np.asarray(node)
+
+
+def test_roundtrip_params_to_torch_and_back():
+    params = init_vqmodel(jax.random.PRNGKey(0), TINY)
+    sd = params_to_state_dict(params)
+    # expected reference-style names exist
+    assert "encoder.conv_in.weight" in sd
+    assert "encoder.down.0.block.0.norm1.weight" in sd
+    assert "encoder.down.0.downsample.conv.weight" in sd
+    assert "encoder.mid.attn_1.q.weight" in sd
+    assert "decoder.up.1.upsample.conv.weight" in sd
+    assert "quantize.embedding.weight" in sd
+    assert "quant_conv.weight" in sd and sd["quant_conv.weight"].shape == (16, 16, 1, 1)
+    assert "conv_in.weight" in sd and sd["conv_in.weight"].shape == (4, 5, 1, 1)
+
+    model, disc, lpips = convert_state_dict(sd)
+    assert not disc and not lpips
+    orig = dict(tree_paths(params))
+    back = dict(tree_paths(model))
+    assert set(orig) == set(back)
+    for k in orig:
+        np.testing.assert_array_equal(orig[k], back[k], err_msg=k)
+
+
+def test_discriminator_and_lpips_split():
+    sd = {
+        "loss.discriminator.main.0.weight": np.zeros((8, 4, 4, 4), np.float32),
+        "loss.perceptual_loss.lin0.model.1.weight": np.zeros((1, 64, 1, 1), np.float32),
+        "encoder.norm_out.weight": np.ones((16,), np.float32),
+    }
+    model, disc, lpips = convert_state_dict(sd)
+    assert disc["main"][0]["weight"].shape == (4, 4, 4, 8)  # HWIO
+    assert lpips["lin0"]["model"][1]["weight"].shape == (1, 1, 64, 1)
+    assert model["encoder"]["norm_out"]["weight"].shape == (16,)
+
+
+def test_init_from_ckpt_nonstrict_merge():
+    params = init_vqmodel(jax.random.PRNGKey(0), TINY)
+    sd = params_to_state_dict(params)
+    # perturb one weight and convert back
+    sd["encoder.conv_in.weight"] = sd["encoder.conv_in.weight"] + 1.0
+    # shape-mismatched codebook (cross-phase warm start: n_embed differs)
+    sd["quantize.embedding.weight"] = np.zeros((64, 16), np.float32)
+    model, _, _ = convert_state_dict(sd)
+    merged = init_from_ckpt(params, model)
+    got = np.asarray(merged["encoder"]["conv_in"]["weight"])
+    want = np.asarray(params["encoder"]["conv_in"]["weight"]) + 1.0
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # mismatched codebook must keep the initialized value
+    assert merged["quantize"]["embedding"].shape == (32, 16)
+
+
+def test_init_from_ckpt_ignore_prefix():
+    params = init_vqmodel(jax.random.PRNGKey(0), TINY)
+    sd = params_to_state_dict(params)
+    sd["quantize.embedding.weight"] = sd["quantize.embedding.weight"] + 5.0
+    model, _, _ = convert_state_dict(sd)
+    merged = init_from_ckpt(params, model, ignore_prefixes=("quantize",))
+    np.testing.assert_array_equal(
+        np.asarray(merged["quantize"]["embedding"]),
+        np.asarray(params["quantize"]["embedding"]),
+    )
+
+
+def test_torch_load_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from sgam_neurips22_tpu.core.torch_convert import convert_checkpoint
+
+    params = init_vqmodel(jax.random.PRNGKey(1), TINY)
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v.transpose(3, 2, 0, 1) if v.ndim == 4 else v))
+        for k, v in (
+            (k, np.asarray(v)) for k, v in params_to_state_dict(params).items()
+        )
+    }
+    # params_to_state_dict already emits OIHW; undo the extra transpose above
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in params_to_state_dict(params).items()
+    }
+    path = tmp_path / "last.ckpt"
+    torch.save({"state_dict": sd, "global_step": 7}, str(path))
+    model, disc, lpips = convert_checkpoint(str(path))
+    orig = dict(tree_paths(params))
+    back = dict(tree_paths(model))
+    assert set(orig) == set(back)
+    for k in orig:
+        np.testing.assert_array_equal(orig[k], back[k], err_msg=k)

@@ -1,0 +1,195 @@
+"""VQGAN model tests: shapes, quantizer semantics, straight-through grads."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgam_neurips22_tpu.models import (
+    DDConfig,
+    VQModelConfig,
+    decode,
+    decode_code,
+    encode_prequant,
+    forward,
+    init_vqmodel,
+)
+from sgam_neurips22_tpu.models.vqgan.nn import conv2d, group_norm
+from sgam_neurips22_tpu.models.vqgan.quantize import (
+    codeword_distances,
+    init_codebook,
+    quantize,
+    quantize_topk,
+    resize_mask_nearest,
+    update_codebook,
+)
+
+TINY = VQModelConfig(
+    ddconfig=DDConfig(
+        ch=32,
+        out_ch=4,
+        ch_mult=(1, 2),
+        num_res_blocks=1,
+        attn_resolutions=(8,),
+        resolution=16,
+        z_channels=32,
+        in_channels=4,
+    ),
+    n_embed=64,
+    embed_dim=32,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return init_vqmodel(jax.random.PRNGKey(0), TINY)
+
+
+def test_encode_decode_shapes(tiny_params):
+    x = jnp.zeros((2, 32, 32, 4))
+    z = encode_prequant(tiny_params, TINY, x)
+    assert z.shape == (2, 16, 16, 32)
+    xrec = decode(tiny_params, TINY, z)
+    assert xrec.shape == (2, 32, 32, 4)
+
+
+def test_forward_quantized(tiny_params):
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+    res = forward(tiny_params, TINY, x)
+    assert res.xrec.shape == (2, 32, 32, 4)
+    assert res.indices.shape == (2, 16, 16)
+    assert float(res.qloss) >= 0.0
+
+
+def test_forward_topk_sampling(tiny_params):
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 4))
+    mask = jnp.ones((1, 32, 32, 1), bool)  # everything unseen -> all sampled
+    res = forward(
+        tiny_params, TINY, x, extrapolation_mask=mask, topk=4,
+        rng=jax.random.PRNGKey(3), sample_number=3,
+    )
+    assert res.xrec.shape == (1, 3, 32, 32, 4)
+    assert res.indices.shape == (1, 3, 16, 16)
+
+
+def test_topk1_matches_argmin(tiny_params):
+    """topk=1 must be the deterministic argmin path (parity mode)."""
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 32, 32, 4))
+    det = forward(tiny_params, TINY, x)
+    samp = forward(
+        tiny_params, TINY, x, topk=1, rng=jax.random.PRNGKey(5), sample_number=1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(det.indices), np.asarray(samp.indices[:, 0])
+    )
+
+
+def test_visible_positions_take_argmin(tiny_params):
+    """With extrapolation_mask all-False, topk sampling must equal argmin
+    regardless of k (reference quantize.py:364-367 mask gating)."""
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 32, 32, 4))
+    mask = jnp.zeros((1, 32, 32, 1), bool)
+    det = forward(tiny_params, TINY, x)
+    samp = forward(
+        tiny_params, TINY, x, extrapolation_mask=mask, topk=8,
+        rng=jax.random.PRNGKey(7), sample_number=2,
+    )
+    for s in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(det.indices), np.asarray(samp.indices[:, s])
+        )
+
+
+def test_quantize_straight_through_gradient():
+    """d quantize(z)/dz must be identity (straight-through estimator)."""
+    cb = init_codebook(jax.random.PRNGKey(0), 16, 8)
+
+    def f(z):
+        return jnp.sum(quantize(cb, z).z_q * 2.0)
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 8))
+    g = jax.grad(f)(z)
+    np.testing.assert_allclose(np.asarray(g), 2.0, atol=1e-6)
+
+
+def test_quantize_matches_numpy_argmin():
+    cb = np.asarray(init_codebook(jax.random.PRNGKey(2), 32, 8))
+    z = np.random.default_rng(0).normal(size=(1, 4, 4, 8)).astype(np.float32)
+    res = quantize(jnp.asarray(cb), jnp.asarray(z))
+    d = ((z.reshape(-1, 1, 8) - cb[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(
+        np.asarray(res.indices).reshape(-1), d.argmin(1)
+    )
+
+
+def test_quantize_legacy_loss_value():
+    cb = init_codebook(jax.random.PRNGKey(3), 16, 4)
+    z = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 2, 4))
+    res = quantize(cb, z, beta=0.25)
+    zq = np.asarray(cb)[np.asarray(res.indices)]
+    expect = ((zq - np.asarray(z)) ** 2).mean() * (1 + 0.25)
+    np.testing.assert_allclose(float(res.loss), expect, rtol=1e-5)
+
+
+def test_update_codebook():
+    cb = jnp.zeros((8, 4))
+    feats = jnp.ones((2, 4))
+    new = update_codebook(cb, feats, jnp.asarray([1, 5]))
+    assert float(new[1].sum()) == 4.0 and float(new[5].sum()) == 4.0
+    assert float(new.sum()) == 8.0
+
+
+def test_resize_mask_matches_torch_interpolate():
+    torch = pytest.importorskip("torch")
+    m = (np.random.default_rng(1).random((2, 32, 32)) > 0.5).astype(np.float32)
+    ours = np.asarray(resize_mask_nearest(jnp.asarray(m), 16, 16))
+    theirs = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(m)[:, None], size=(16, 16)
+        )[:, 0]
+        .numpy()
+    )
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_decode_code(tiny_params):
+    idx = jnp.zeros((1, 16, 16), jnp.int32)
+    out = decode_code(tiny_params, TINY, idx)
+    assert out.shape == (1, 32, 32, 4)
+
+
+def test_conv_groupnorm_match_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 8, 8, 32)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 32, 16)).astype(np.float32) * 0.1
+    b = rng.normal(size=(16,)).astype(np.float32)
+    ours = np.asarray(conv2d(jnp.asarray(x), {"weight": jnp.asarray(w), "bias": jnp.asarray(b)}))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    wt = torch.from_numpy(w).permute(3, 2, 0, 1)
+    theirs = (
+        torch.nn.functional.conv2d(xt, wt, torch.from_numpy(b), padding=1)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+    g = rng.normal(size=(32,)).astype(np.float32)
+    bb = rng.normal(size=(32,)).astype(np.float32)
+    ours_gn = np.asarray(
+        group_norm(jnp.asarray(x), {"weight": jnp.asarray(g), "bias": jnp.asarray(bb)}, 8)
+    )
+    theirs_gn = (
+        torch.nn.functional.group_norm(
+            xt, 8, torch.from_numpy(g), torch.from_numpy(bb), eps=1e-6
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours_gn, theirs_gn, atol=1e-4)
+
+
+def test_distances_nonnegative():
+    cb = init_codebook(jax.random.PRNGKey(5), 16, 8)
+    z = jax.random.normal(jax.random.PRNGKey(6), (10, 8))
+    d = codeword_distances(z, cb)
+    assert float(d.min()) > -1e-4
