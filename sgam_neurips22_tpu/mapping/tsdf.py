@@ -1,0 +1,214 @@
+"""On-device TSDF volume: integrate + raycast depth render (pure JAX).
+
+Replaces the reference's Open3D C++ mapping surface (SURVEY.md section 2.9):
+- `ScalableTSDFVolume.integrate(rgbd, K, T)` (inference_pipeline.py:777)
+  -> `integrate`: a dense voxel-grid scatter-free update (every voxel
+  projects into the frame; pure vectorized gather + where), jittable, so map
+  fusion runs inside the per-frame TPU step.
+- mesh extraction + `OffscreenRenderer.render_to_depth_image`
+  (inference_pipeline.py:786-827) -> `render_depth`: direct TSDF raycasting
+  (zero-crossing search along each pixel ray), skipping meshing entirely.
+  Parity with the reference's *mesh-rasterized* depth is at the PSNR level,
+  not bit-exact (SURVEY.md hard part #2).
+
+The volume is a fixed dense grid sized to the scene bounds. At CLEVR scale
+(voxel 0.05, SURVEY section 6) a 256x256x128 grid covers 12.8m x 12.8m x
+6.4m in ~100 MB HBM f32 (tsdf+weight+rgb). GoogleEarth (voxel 0.01, extent
+~3) similarly fits. Camera convention matches Open3D: T is world->camera
+(extrinsic); depth images are z-depth.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sgam_neurips22_tpu.geometry.camera import pixel_grid
+
+
+@dataclass(frozen=True)
+class TSDFConfig:
+    dims: Tuple[int, int, int]  # voxels per axis (X, Y, Z)
+    voxel_size: float  # meters (0.05 CLEVR / 0.01 GE, inference_pipeline.py:121-131)
+    sdf_trunc: float  # truncation distance (10*voxel CLEVR / 0.03 GE)
+    origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # world min corner
+    depth_trunc: float = 20.0  # ignore depth beyond (reference :776 depth_trunc=20)
+
+
+class TSDFVolume(NamedTuple):
+    tsdf: jnp.ndarray  # [X, Y, Z] f32 in [-1, 1]
+    weight: jnp.ndarray  # [X, Y, Z] f32
+    color: jnp.ndarray  # [X, Y, Z, 3] f32
+
+
+def create_volume(cfg: TSDFConfig) -> TSDFVolume:
+    x, y, z = cfg.dims
+    return TSDFVolume(
+        tsdf=jnp.ones((x, y, z), jnp.float32),
+        weight=jnp.zeros((x, y, z), jnp.float32),
+        color=jnp.zeros((x, y, z, 3), jnp.float32),
+    )
+
+
+def _voxel_centers(cfg: TSDFConfig) -> jnp.ndarray:
+    """[X, Y, Z, 3] world coordinates of voxel centers."""
+    xs = jnp.arange(cfg.dims[0], dtype=jnp.float32)
+    ys = jnp.arange(cfg.dims[1], dtype=jnp.float32)
+    zs = jnp.arange(cfg.dims[2], dtype=jnp.float32)
+    gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    grid = jnp.stack([gx, gy, gz], axis=-1)
+    return (grid + 0.5) * cfg.voxel_size + jnp.asarray(cfg.origin)
+
+
+def integrate(
+    vol: TSDFVolume,
+    cfg: TSDFConfig,
+    depth: jnp.ndarray,
+    rgb: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    extrinsic: jnp.ndarray,
+) -> TSDFVolume:
+    """Fuse one RGB-D frame into the volume (weighted running average, the
+    standard Curless-Levoy update Open3D implements).
+
+    Args:
+      depth: [H, W] z-depth (0 = invalid).
+      rgb: [H, W, 3] color (any range; stored as-is).
+      intrinsics: [3, 3]; extrinsic: [4, 4] world->camera.
+    """
+    h, w = depth.shape
+    centers = _voxel_centers(cfg)  # [X, Y, Z, 3]
+    r = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    cam = jnp.einsum("ij,xyzj->xyzi", r, centers) + t
+    z = cam[..., 2]
+    u = intrinsics[0, 0] * cam[..., 0] / z + intrinsics[0, 2]
+    v = intrinsics[1, 1] * cam[..., 1] / z + intrinsics[1, 2]
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_view = (z > 0) & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    uis = jnp.clip(ui, 0, w - 1)
+    vis = jnp.clip(vi, 0, h - 1)
+    d = depth[vis, uis]
+    valid_d = (d > 0) & (d < cfg.depth_trunc)
+    sdf = d - z
+    update = in_view & valid_d & (sdf > -cfg.sdf_trunc)
+    tsdf_new = jnp.clip(sdf / cfg.sdf_trunc, -1.0, 1.0)
+
+    w_old = vol.weight
+    w_new = jnp.where(update, w_old + 1.0, w_old)
+    denom = jnp.maximum(w_new, 1.0)
+    tsdf = jnp.where(
+        update, (vol.tsdf * w_old + tsdf_new) / denom, vol.tsdf
+    )
+    c = rgb[vis, uis]
+    color = jnp.where(
+        update[..., None], (vol.color * w_old[..., None] + c) / denom[..., None], vol.color
+    )
+    return TSDFVolume(tsdf=tsdf, weight=w_new, color=color)
+
+
+def _trilinear(
+    grid: jnp.ndarray, weight: jnp.ndarray, pts: jnp.ndarray, cfg: TSDFConfig
+):
+    """Trilinear TSDF sample at world points.
+
+    Args:
+      pts: [..., 3] world coords.
+    Returns:
+      (tsdf values [...], observed mask [...]): a point counts as observed
+      only if all 8 corners carry weight.
+    """
+    g = (pts - jnp.asarray(cfg.origin)) / cfg.voxel_size - 0.5
+    g0 = jnp.floor(g)
+    frac = g - g0
+    g0 = g0.astype(jnp.int32)
+    dims = jnp.asarray(cfg.dims)
+
+    vals = 0.0
+    obs = jnp.ones(pts.shape[:-1], bool)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                idx = g0 + jnp.asarray([dx, dy, dz])
+                inb = jnp.all((idx >= 0) & (idx < dims), axis=-1)
+                ic = jnp.clip(idx, 0, dims - 1)
+                tv = grid[ic[..., 0], ic[..., 1], ic[..., 2]]
+                wv = weight[ic[..., 0], ic[..., 1], ic[..., 2]]
+                wgt = (
+                    jnp.where(dx, frac[..., 0], 1 - frac[..., 0])
+                    * jnp.where(dy, frac[..., 1], 1 - frac[..., 1])
+                    * jnp.where(dz, frac[..., 2], 1 - frac[..., 2])
+                )
+                vals = vals + wgt * tv
+                obs = obs & ((wv > 0) | ~inb) & inb
+    return vals, obs
+
+
+def render_depth(
+    vol: TSDFVolume,
+    cfg: TSDFConfig,
+    intrinsics: jnp.ndarray,
+    extrinsic: jnp.ndarray,
+    image_size: Tuple[int, int],
+    near: float,
+    far: float,
+    n_samples: int = 192,
+) -> jnp.ndarray:
+    """Raycast the TSDF to a target-view z-depth image [H, W].
+
+    Rays are parameterized by z-depth (direction K^-1 [u,v,1] has unit z in
+    camera frame), so the returned crossing parameter IS the z-depth —
+    matching `render_to_depth_image(z_in_view_space=True)`
+    (reference inference_pipeline.py:825). Unobserved/missed rays return 0
+    (reference maps Inf->0 at :827).
+    """
+    h, w = image_size
+    pix = pixel_grid(h, w)  # [H, W, 3] (u, v, 1)
+    k_inv = jnp.linalg.inv(intrinsics)
+    dirs_cam = jnp.einsum("ij,hwj->hwi", k_inv, pix)  # z = 1
+    r = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    cam_center = -r.T @ t
+    dirs_world = jnp.einsum("ji,hwj->hwi", r, dirs_cam)
+
+    ts = jnp.linspace(near, far, n_samples, dtype=jnp.float32)  # [S]
+    pts = (
+        cam_center[None, None, None, :]
+        + dirs_world[:, :, None, :] * ts[None, None, :, None]
+    )  # [H, W, S, 3]
+    vals, obs = _trilinear(vol.tsdf, vol.weight, pts, cfg)  # [H, W, S]
+
+    # first observed + -> - zero crossing along each ray
+    prev_v, next_v = vals[..., :-1], vals[..., 1:]
+    prev_o, next_o = obs[..., :-1], obs[..., 1:]
+    crossing = (prev_v > 0) & (next_v <= 0) & prev_o & next_o  # [H, W, S-1]
+    first = jnp.argmax(crossing, axis=-1)  # [H, W]
+    hit = jnp.any(crossing, axis=-1)
+    pv = jnp.take_along_axis(prev_v, first[..., None], axis=-1)[..., 0]
+    nv = jnp.take_along_axis(next_v, first[..., None], axis=-1)[..., 0]
+    t0 = ts[first]
+    dt = ts[1] - ts[0]
+    frac = pv / jnp.maximum(pv - nv, 1e-12)
+    depth = t0 + dt * frac
+    return jnp.where(hit, depth, 0.0)
+
+
+def extract_points(
+    vol: TSDFVolume, cfg: TSDFConfig, max_abs_tsdf: float = 0.2
+):
+    """Surface point cloud from near-zero-TSDF voxels (the reference's
+    `volume.extract_point_cloud()` -> .ply, inference_pipeline.py:447).
+    Host-side (returns numpy); for export only."""
+    import numpy as np
+
+    tsdf = np.asarray(vol.tsdf)
+    weight = np.asarray(vol.weight)
+    color = np.asarray(vol.color)
+    mask = (weight > 0) & (np.abs(tsdf) < max_abs_tsdf)
+    idx = np.argwhere(mask)
+    pts = (idx + 0.5) * cfg.voxel_size + np.asarray(cfg.origin)
+    cols = color[mask]
+    return pts.astype(np.float32), cols.astype(np.float32)

@@ -65,6 +65,11 @@ def group_norm(
 ) -> jnp.ndarray:
     """GroupNorm(32, eps=1e-6) over NHWC (reference Normalize, model.py:34)."""
     b, h, w, c = x.shape
+    if c % num_groups != 0:
+        raise ValueError(
+            f"GroupNorm: channels ({c}) must be divisible by num_groups "
+            f"({num_groups}); pick ch as a multiple of 32 (reference model.py:34)"
+        )
     xg = x.reshape(b, h, w, num_groups, c // num_groups).astype(jnp.float32)
     mean = xg.mean(axis=(1, 2, 4), keepdims=True)
     var = xg.var(axis=(1, 2, 4), keepdims=True)

@@ -1,0 +1,155 @@
+"""Data module: phase-switched datasets + batched device-bound loader.
+
+Rebuild of reference data/utils/utils.py `DataModuleFromConfig` (:196-311):
+phase 'conditional_generation' wires the pose-graph pair datasets, phase
+'codebook' the file-list RGB-D datasets; test split = validation (:281).
+
+The loader replaces torch DataLoader worker processes with a thread-pool
+prefetcher feeding jax.device_put (TPU-idiomatic host->device pipelining:
+the next batch is assembled and transferred while the step runs).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+from sgam_neurips22_tpu.core.registry import register
+from sgam_neurips22_tpu.training.data.codebook_dataset import CodebookDataset
+from sgam_neurips22_tpu.training.data.pair_dataset import (
+    ClevrInfinitePairs,
+    GoogleEarthPairs,
+)
+
+PAIR_DATASETS = {
+    "clevr-infinite": ClevrInfinitePairs,
+    "google_earth": GoogleEarthPairs,
+}
+
+
+class Loader:
+    """Shuffling batcher with background prefetch.
+
+    drop_last is always on for train (static shapes keep XLA happy); val
+    mirrors the reference's drop_last=True (data/utils/utils.py:299-311).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+        device_put: Optional[Callable[[Dict[str, np.ndarray]], Any]] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.device_put = device_put
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        return idx
+
+    def _assemble(self, idxs, rng) -> Dict[str, np.ndarray]:
+        examples = []
+        for i in idxs:
+            try:
+                examples.append(self.dataset.__getitem__(int(i), rng=rng))
+            except TypeError:
+                examples.append(self.dataset[int(i)])
+        return {
+            k: np.stack([e[k] for e in examples]) for k in examples[0]
+        }
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        idx = self._indices()
+        self._epoch += 1
+        rng = np.random.default_rng(self.seed + 1000 + self._epoch)
+        n = len(self)
+        if n == 0:
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def produce():
+            for b in range(n):
+                batch = self._assemble(
+                    idx[b * self.batch_size : (b + 1) * self.batch_size], rng
+                )
+                if self.device_put is not None:
+                    batch = self.device_put(batch)
+                q.put(batch)
+            q.put(stop)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+@register(
+    "sgam_neurips22_tpu.DataModule",
+    "data.utils.utils.DataModuleFromConfig",  # reference YAML alias
+)
+class DataModule:
+    """Phase-switched dataset wiring (reference data/utils/utils.py:196-311)."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        dataset: str,
+        phase: str,
+        dataset_dir: str,
+        image_resolution=(256, 256),
+        n_src: int = 2,
+        num_workers: int = 0,  # accepted for config parity; loader uses threads
+        depth_range=None,
+        use_depth: bool = True,
+        seed: int = 0,
+        device_put=None,
+        **_: Any,
+    ):
+        self.batch_size = batch_size
+        self.seed = seed
+        self.device_put = device_put
+        if phase == "conditional_generation":
+            cls = PAIR_DATASETS[dataset]
+            self.train_ds = cls("train", dataset_dir, n_src, image_resolution)
+            self.val_ds = cls("val", dataset_dir, n_src, image_resolution)
+        elif phase == "codebook":
+            self.train_ds = CodebookDataset(
+                "train", dataset_dir, dataset, image_resolution, use_depth=use_depth
+            )
+            self.val_ds = CodebookDataset(
+                "val", dataset_dir, dataset, image_resolution, use_depth=use_depth
+            )
+        else:
+            raise NotImplementedError(phase)
+        self.test_ds = self.val_ds  # reference :281
+
+    def train_loader(self) -> Loader:
+        return Loader(
+            self.train_ds, self.batch_size, shuffle=True, seed=self.seed,
+            device_put=self.device_put,
+        )
+
+    def val_loader(self) -> Loader:
+        return Loader(self.val_ds, self.batch_size, device_put=self.device_put)
+
+    def test_loader(self) -> Loader:
+        return Loader(self.test_ds, self.batch_size, device_put=self.device_put)

@@ -1,0 +1,161 @@
+"""Pipeline tests: trajectories, orders, selection, end-to-end mini unroll."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from sgam_neurips22_tpu.models import DDConfig, VQModelConfig, init_vqmodel
+from sgam_neurips22_tpu.pipeline.ordering import (
+    column_major_order,
+    row_major_order,
+    zig_zag_order,
+)
+from sgam_neurips22_tpu.pipeline.scene_generation import (
+    InfiniteSceneGeneration,
+    SceneGenConfig,
+)
+from sgam_neurips22_tpu.pipeline.selection import select_sources
+from sgam_neurips22_tpu.pipeline.trajectory import (
+    prepare_grid,
+    prepare_ring,
+    prepare_spiral,
+)
+
+TINY = VQModelConfig(
+    ddconfig=DDConfig(
+        ch=32, out_ch=4, ch_mult=(1, 2), num_res_blocks=1,
+        attn_resolutions=(8,), resolution=16, z_channels=32, in_channels=4,
+    ),
+    n_embed=32,
+    embed_dim=16,
+    phase="conditional_generation",
+    dataset="clevr-infinite",
+    depth_range=(7.0, 16.0),
+)
+H = W = 32
+TINY_K = np.array([[20.0, 0, (W - 1) / 2], [0, 20.0, (H - 1) / 2], [0, 0, 1]])
+
+
+def test_zigzag_order_properties():
+    order = zig_zag_order(3, 3)
+    assert len(order) == 9
+    assert order[0] == (0, 0)
+    assert sorted(order) == [(i, j) for i in range(3) for j in range(3)]
+    # consecutive cells sit on adjacent anti-diagonals (or the same one)
+    sums = [i + j for i, j in order]
+    assert all(abs(sums[k + 1] - sums[k]) <= 1 for k in range(8))
+
+
+def test_row_and_column_major_cover_grid():
+    assert sorted(row_major_order(3, 4)) == sorted(
+        (i, j) for i in range(3) for j in range(4)
+    )
+    assert sorted(column_major_order(4, 3)) == sorted(
+        (i, j) for i in range(4) for j in range(3)
+    )
+
+
+def test_prepare_grid_poses_consistent():
+    grid = prepare_grid("clevr-infinite", (3, 3))
+    assert grid.size == 9
+    # rotations orthonormal
+    rtr = np.einsum("gij,gkj->gik", grid.R, grid.R)
+    np.testing.assert_allclose(rtr, np.tile(np.eye(3), (9, 1, 1)), atol=1e-6)
+    # grid spacing matches step unit / denom
+    d = np.linalg.norm(grid.position[1] - grid.position[0])
+    np.testing.assert_allclose(d, 0.81632614 / 2, rtol=1e-5)
+    # positions = -R^T t
+    np.testing.assert_allclose(
+        grid.position, np.einsum("gji,gj->gi", grid.R, -grid.t), atol=1e-6
+    )
+
+
+def test_spiral_and_ring_build():
+    sp = prepare_spiral("clevr-infinite", 10)
+    rg = prepare_ring("clevr-infinite", 10)
+    for g in (sp, rg):
+        assert g.size == 10
+        rtr = np.einsum("gij,gkj->gik", g.R, g.R)
+        np.testing.assert_allclose(rtr, np.tile(np.eye(3), (10, 1, 1)), atol=1e-5)
+    # ring poses actually move
+    assert np.linalg.norm(rg.position[1] - rg.position[0]) > 1e-4
+
+
+def test_select_sources_radius_and_count():
+    grid = prepare_grid("clevr-infinite", (3, 3))
+    order = zig_zag_order(3, 3)
+    grid.visited[grid.index(*order[0])] = True
+    grid.visited[grid.index(*order[1])] = True
+    srcs = select_sources(grid, order, curr=2, tgt_coord=order[2], num_src=5,
+                          dataset="clevr-infinite")
+    assert 1 <= len(srcs) <= 2
+    # all within radius 1.0
+    tgt = grid.position[grid.index(*order[2])]
+    for c in srcs:
+        assert np.linalg.norm(grid.position[grid.index(*c)] - tgt) <= 1.0
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return init_vqmodel(jax.random.PRNGKey(0), TINY)
+
+
+def make_seed():
+    rng = np.random.default_rng(5)
+    rgb = rng.uniform(-1, 1, (H, W, 3)).astype(np.float32)
+    depth = rng.uniform(8, 14, (H, W)).astype(np.float32)
+    return rgb, depth
+
+
+def test_scene_expansion_splat_3x3(tiny_params, tmp_path):
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(3, 3), num_src=3, topk=1,
+        image_resolution=(H, W),
+    )
+    rgb, depth = make_seed()
+    gen = InfiniteSceneGeneration(
+        tiny_params, TINY, cfg, seeds=[((0, 0), rgb, depth)],
+        output_dir=str(tmp_path), intrinsics=TINY_K,
+    )
+    rgb_buf, depth_buf = gen.scene_expansion(jax.random.PRNGKey(0))
+    assert gen.grid.visited.all()
+    assert np.isfinite(np.asarray(rgb_buf)).all()
+    assert float(np.abs(np.asarray(rgb_buf)).sum()) > 0
+    # exports in the reference layout
+    files = os.listdir(tmp_path)
+    assert any(f.startswith("im_") and f.endswith(".png") for f in files)
+    assert any(f.startswith("dm_") for f in files)
+    assert "merged_pcds.ply" in files
+    # seed frame preserved exactly
+    np.testing.assert_allclose(np.asarray(rgb_buf[0]), rgb, atol=1e-6)
+
+
+def test_scene_expansion_rgbd_integration_2x2(tiny_params):
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2), num_src=2, topk=1,
+        image_resolution=(H, W), use_rgbd_integration=True,
+        tsdf_dims=(48, 48, 48), raycast_samples=48,
+    )
+    rgb, depth = make_seed()
+    gen = InfiniteSceneGeneration(
+        tiny_params, TINY, cfg, seeds=[((0, 0), rgb, depth)], intrinsics=TINY_K
+    )
+    rgb_buf, depth_buf = gen.scene_expansion(jax.random.PRNGKey(0))
+    assert gen.grid.visited.all()
+    assert np.isfinite(np.asarray(rgb_buf)).all()
+    # the seed frame must have been fused into the map
+    assert float(gen.volume.weight.max()) > 0
+
+
+def test_topk_sampling_pipeline(tiny_params):
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2), num_src=2, topk=4,
+        image_resolution=(H, W),
+    )
+    rgb, depth = make_seed()
+    gen = InfiniteSceneGeneration(
+        tiny_params, TINY, cfg, seeds=[((0, 0), rgb, depth)], intrinsics=TINY_K
+    )
+    rgb_buf, _ = gen.scene_expansion(jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(rgb_buf)).all()

@@ -12,8 +12,8 @@ from sgam_neurips22_tpu.models import DDConfig, VQModelConfig, init_vqmodel
 
 TINY = VQModelConfig(
     ddconfig=DDConfig(
-        ch=16, out_ch=4, ch_mult=(1, 2), num_res_blocks=1,
-        attn_resolutions=(8,), resolution=16, z_channels=16, in_channels=4,
+        ch=32, out_ch=4, ch_mult=(1, 2), num_res_blocks=1,
+        attn_resolutions=(8,), resolution=16, z_channels=32, in_channels=4,
     ),
     n_embed=32,
     embed_dim=16,

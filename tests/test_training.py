@@ -1,0 +1,187 @@
+"""Training step tests: GAN alternation, phase freezing, kmeans, DP mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgam_neurips22_tpu.models import DDConfig, VQModelConfig
+from sgam_neurips22_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sgam_neurips22_tpu.training.kmeans import (
+    init_kmeans_state,
+    kmeans,
+    kmeans_bookkeeping,
+    refresh_codebook,
+    should_refresh,
+)
+from sgam_neurips22_tpu.training.lpips import init_lpips
+from sgam_neurips22_tpu.training.losses import LossConfig
+from sgam_neurips22_tpu.training.train_step import (
+    OnlineKMeansConfig,
+    TrainConfig,
+    create_train_state,
+    eval_step,
+    train_step,
+)
+
+TINY_MODEL = VQModelConfig(
+    ddconfig=DDConfig(
+        ch=32, out_ch=4, ch_mult=(1, 2), num_res_blocks=1,
+        attn_resolutions=(8,), resolution=16, z_channels=32, in_channels=4,
+    ),
+    n_embed=32,
+    embed_dim=16,
+    phase="codebook",
+    dataset="clevr-infinite",
+    depth_range=(7.0, 16.0),
+)
+TINY_LOSS = LossConfig(disc_start=0, disc_num_layers=2, perceptual_weight=1.0)
+
+
+def codebook_cfg(**kw):
+    return TrainConfig(model=TINY_MODEL, loss=TINY_LOSS, learning_rate=1e-3, **kw)
+
+
+def leaves_equal(a, b):
+    fa = jax.tree_util.tree_leaves(a)
+    fb = jax.tree_util.tree_leaves(b)
+    return all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(fa, fb))
+
+
+@pytest.fixture(scope="module")
+def lpips_params():
+    return init_lpips(jax.random.PRNGKey(42))
+
+
+def make_image_batch(b=2, h=32, w=32):
+    rng = np.random.default_rng(0)
+    return {"image": jnp.asarray(rng.uniform(-1, 1, (b, h, w, 4)).astype(np.float32))}
+
+
+def make_cond_batch(b=2, n=2, h=32, w=32):
+    rng = np.random.default_rng(1)
+    k = np.array([[20.0, 0, (w - 1) / 2], [0, 20.0, (h - 1) / 2], [0, 0, 1]], np.float32)
+    return {
+        "dst_img": jnp.asarray(rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32)),
+        "dst_depth": jnp.asarray(rng.uniform(8, 14, (b, h, w)).astype(np.float32)),
+        "src_imgs": jnp.asarray(rng.uniform(-1, 1, (b, n, h, w, 3)).astype(np.float32)),
+        "src_depths": jnp.asarray(rng.uniform(8, 14, (b, n, h, w)).astype(np.float32)),
+        "Ks": jnp.broadcast_to(jnp.asarray(k), (b, n, 3, 3)),
+        "R_rels": jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, n, 3, 3)),
+        "t_rels": jnp.zeros((b, n, 3), jnp.float32),
+        "src_masks": jnp.ones((b, n), jnp.float32),
+    }
+
+
+def test_codebook_phase_step(lpips_params):
+    cfg = codebook_cfg()
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    batch = make_image_batch()
+    new_state, logs = train_step(state, batch, lpips_params, cfg)
+    assert int(new_state["step"]) == 1
+    for k in ("aeloss", "discloss", "train/rec_loss", "train/d_weight"):
+        assert np.isfinite(float(logs[k])), k
+    # all model params train in codebook phase
+    st2 = create_train_state(jax.random.PRNGKey(0), cfg)
+    assert not leaves_equal(new_state["params"]["decoder"], st2["params"]["decoder"])
+    assert not leaves_equal(new_state["params"]["quantize"], st2["params"]["quantize"])
+
+
+def test_conditional_phase_freezes_decoder_and_codebook(lpips_params):
+    model = VQModelConfig(
+        ddconfig=TINY_MODEL.ddconfig, n_embed=32, embed_dim=16,
+        phase="conditional_generation", dataset="clevr-infinite",
+        depth_range=(7.0, 16.0),
+    )
+    cfg = TrainConfig(model=model, loss=TINY_LOSS, learning_rate=1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state["params"])
+    batch = make_cond_batch()
+    new_state, logs = train_step(state, batch, lpips_params, cfg)
+    assert np.isfinite(float(logs["aeloss"]))
+    assert leaves_equal(new_state["params"]["decoder"], before["decoder"])
+    assert leaves_equal(new_state["params"]["quantize"], before["quantize"])
+    assert not leaves_equal(new_state["params"]["encoder"], before["encoder"])
+    assert not leaves_equal(new_state["params"]["conv_in"], before["conv_in"])
+
+
+def test_disc_start_gates_gan_terms(lpips_params):
+    cfg = codebook_cfg()
+    gated = TrainConfig(
+        model=TINY_MODEL,
+        loss=LossConfig(disc_start=10_000, disc_num_layers=2),
+        learning_rate=1e-3,
+    )
+    state = create_train_state(jax.random.PRNGKey(0), gated)
+    new_state, logs = train_step(state, make_image_batch(), lpips_params, gated)
+    assert float(logs["discloss"]) == 0.0
+    assert float(logs["train/disc_factor"]) == 0.0
+
+
+def test_eval_step(lpips_params):
+    cfg = codebook_cfg()
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    logs = eval_step(state, make_image_batch(), lpips_params, cfg)
+    assert np.isfinite(float(logs["val/rgb_l1"]))
+    assert np.isfinite(float(logs["val/disparity_l1"]))
+    assert logs["val/indices"].shape == (2, 16, 16)
+
+
+def test_kmeans_recovers_clusters():
+    rng = np.random.default_rng(2)
+    centers = np.array([[0.0, 0.0], [5.0, 5.0], [-5.0, 5.0]], np.float32)
+    data = np.concatenate(
+        [c + 0.1 * rng.normal(size=(50, 2)).astype(np.float32) for c in centers]
+    )
+    got = np.asarray(kmeans(jax.random.PRNGKey(0), jnp.asarray(data), 3, iters=25))
+    # each true center should have a centroid within 0.2
+    for c in centers:
+        assert np.min(np.linalg.norm(got - c, axis=1)) < 0.2
+
+
+def test_online_kmeans_bookkeeping_and_refresh():
+    st = init_kmeans_state(n_embed=8, buffer_size=2, positions=4, dim=3, word_timeout=3)
+    indices0 = jnp.asarray([[0, 1], [1, 2]])
+    feats0 = jnp.ones((2, 2, 3))
+    st = kmeans_bookkeeping(st, indices0, feats0, word_timeout=3)
+    t = np.asarray(st.timeout)
+    assert t[0] == 2 and t[1] == 2 and t[2] == 2  # reset to 3 then -1
+    assert t[3] == 2  # 3 - 1 (never used)
+    st = kmeans_bookkeeping(st, indices0, feats0, word_timeout=3)
+    st = kmeans_bookkeeping(st, indices0, feats0, word_timeout=3)
+    t = np.asarray(st.timeout)
+    assert (t[3:] <= 0).all() and (t[:3] > 0).all()
+    assert should_refresh(st, step=0, inactive_threshold=0.1, frequency=1)
+    cb = jnp.zeros((8, 3))
+    new_cb, new_st = refresh_codebook(jax.random.PRNGKey(1), cb, st, word_timeout=3)
+    # inactive rows replaced with (nonzero) centroids, active rows untouched
+    assert np.allclose(np.asarray(new_cb[:3]), 0.0)
+    assert not np.allclose(np.asarray(new_cb[3:]), 0.0)
+    assert (np.asarray(new_st.timeout[3:]) == 3).all()
+
+
+def test_kmeans_enabled_train_step(lpips_params):
+    cfg = codebook_cfg(
+        online_kmeans=OnlineKMeansConfig(
+            do_online_kmeans_clustering=True,
+            online_kmeans_word_timeout=5,
+            train_feature_buffer_size=4,
+        )
+    )
+    state = create_train_state(jax.random.PRNGKey(0), cfg, latent_positions=256)
+    new_state, logs = train_step(state, make_image_batch(), lpips_params, cfg)
+    assert "train/codebook_active_percentage" in logs
+    assert int(new_state["kmeans"].ptr) == 1
+
+
+def test_data_parallel_step_on_8_device_mesh(lpips_params):
+    mesh = make_mesh(8)
+    cfg = codebook_cfg()
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    state = replicate(state, mesh)
+    lp = replicate(lpips_params, mesh)
+    batch = shard_batch(make_image_batch(b=8), mesh)
+    new_state, logs = train_step(state, batch, lp, cfg)
+    assert np.isfinite(float(logs["aeloss"]))
+    # params stay replicated (all-reduce happened inside)
+    w = new_state["params"]["encoder"]["conv_in"]["weight"]
+    assert w.sharding.is_fully_replicated
