@@ -1,0 +1,145 @@
+"""Scene-generation CLI: autoregressively unroll a scene from a seed frame.
+
+Rebuild of reference main_scene_generation.py (:15-54): loads a
+trained-model YAML + checkpoint (torch .ckpt via the converter, or a pickle
+of converted params), copies the dataset's seed template(s), runs
+`scene_expansion`, writes frames + point clouds in the reference layout.
+
+Usage:
+  python generate.py --dataset clevr-infinite --ckpt trained_models/clevr-infinite/last.ckpt \
+      --template_dir templates/clevr-infinite [--use_rgbd_integration] [--topk 1]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+
+def load_seed_frames(template_dir: str, dataset: str, seed_index: int, resolution):
+    """Read the reference's template layout:
+    - clevr-infinite: im_XXXXX_<i>_<j>.png + dm npy with RAY depth that must
+      be converted to z-depth (reference inference_pipeline.py:71-79)
+    - google_earth: templates/google_earth/seed<k>/im_*.png + dm_*.npy
+      placed at grid (0, 0) (reference :46-54)."""
+    from sgam_neurips22_tpu.pipeline.trajectory import default_intrinsics
+    from sgam_neurips22_tpu.training.data.io import (
+        load_depth,
+        load_rgb,
+        ray_to_z_np,
+    )
+
+    seeds = []
+    k = default_intrinsics(dataset, resolution)
+    if dataset == "clevr-infinite":
+        for dm_path in sorted(glob.glob(os.path.join(template_dir, "dm_*.npy"))):
+            name = os.path.basename(dm_path)[3:-4]
+            parts = name.split("_")
+            i, j = (int(parts[1]), int(parts[2])) if len(parts) >= 3 else (0, 0)
+            depth = ray_to_z_np(load_depth(dm_path, resolution), k)
+            rgb = load_rgb(dm_path.replace("dm", "im").replace(".npy", ".png"), resolution)
+            seeds.append(((i, j), rgb, depth.astype(np.float32)))
+    elif dataset == "google_earth":
+        seed_dir = os.path.join(template_dir, f"seed{seed_index}")
+        img_fn = sorted(glob.glob(os.path.join(seed_dir, "im*")))[0]
+        rgb = load_rgb(img_fn, resolution)
+        depth = load_depth(img_fn.replace("im", "dm").replace(".png", ".npy"), resolution)
+        seeds.append(((0, 0), rgb, depth.astype(np.float32)))
+    else:
+        raise NotImplementedError(dataset)
+    if not seeds:
+        raise FileNotFoundError(f"no seed frames under {template_dir}")
+    return seeds
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="clevr-infinite",
+                   choices=["clevr-infinite", "google_earth"])
+    p.add_argument("--ckpt", default=None, help="torch .ckpt or params pickle")
+    p.add_argument("--config", default=None, help="trained-model YAML (reference schema)")
+    p.add_argument("--template_dir", default=None)
+    p.add_argument("--output_dir", default=None)
+    p.add_argument("--use_rgbd_integration", action="store_true")
+    p.add_argument("--topk", type=int, default=1)
+    p.add_argument("--seed_index", type=int, default=0)
+    p.add_argument("--rows", type=int, default=None)
+    p.add_argument("--cols", type=int, default=None)
+    p.add_argument("--num_src", type=int, default=None)
+    p.add_argument("--trajectory", default="grid",
+                   choices=["grid", "spiral", "cylinder", "trajectory"])
+    p.add_argument("--pose_file", default=None)
+    opt = p.parse_args(argv)
+
+    import jax
+
+    from sgam_neurips22_tpu.core.config import load_yaml
+    from sgam_neurips22_tpu.core.torch_convert import convert_checkpoint, init_from_ckpt
+    from sgam_neurips22_tpu.models.vqgan.model import VQModelConfig, init_vqmodel
+    from sgam_neurips22_tpu.pipeline.scene_generation import (
+        InfiniteSceneGeneration,
+        SceneGenConfig,
+    )
+
+    # model config: from --config YAML (reference trained_models/<ds>/config.yaml
+    # schema) or the shipped defaults
+    if opt.config:
+        yaml_cfg = load_yaml(opt.config)
+        model_cfg = VQModelConfig.from_config(
+            yaml_cfg.model.params, yaml_cfg.model.params.get("data_config") or yaml_cfg.get("data", {}).get("params", {})
+        )
+    else:
+        from __graft_entry__ import _flagship_configs
+
+        model_cfg = _flagship_configs()
+        if opt.dataset == "google_earth":
+            from dataclasses import replace
+
+            model_cfg = replace(
+                model_cfg, n_embed=4096, dataset="google_earth",
+                depth_range=(0.099975586, 4.765625),
+            )
+
+    params = init_vqmodel(jax.random.PRNGKey(0), model_cfg)
+    if opt.ckpt and os.path.exists(opt.ckpt):
+        if opt.ckpt.endswith(".pkl"):
+            import pickle
+
+            with open(opt.ckpt, "rb") as f:
+                params = pickle.load(f)
+        else:
+            model_np, _, _ = convert_checkpoint(opt.ckpt)
+            params = init_from_ckpt(params, model_np)
+        print(f"loaded weights from {opt.ckpt}")
+    else:
+        print("WARNING: running with randomly initialized weights")
+
+    # defaults per reference (inference_pipeline.py:43,48)
+    rows = opt.rows or (20 if opt.dataset == "clevr-infinite" else 100)
+    cols = opt.cols or (20 if opt.dataset == "clevr-infinite" else 1)
+    resolution = (256, 256)
+    cfg = SceneGenConfig(
+        dataset=opt.dataset,
+        output_dim=(rows, cols),
+        num_src=opt.num_src,
+        topk=opt.topk,
+        use_rgbd_integration=opt.use_rgbd_integration,
+        trajectory_shape=opt.trajectory,
+        pose_file=opt.pose_file,
+        image_resolution=resolution,
+    )
+    template_dir = opt.template_dir or os.path.join("templates", opt.dataset)
+    seeds = load_seed_frames(template_dir, opt.dataset, opt.seed_index, resolution)
+    out = opt.output_dir or f"grid_res/{opt.dataset}_seed{opt.seed_index}"
+    gen = InfiniteSceneGeneration(
+        params, model_cfg, cfg, seeds=seeds, output_dir=out
+    )
+    # fixed seeds for reproducible unrolls (reference main_scene_generation.py:47-49)
+    gen.scene_expansion(jax.random.PRNGKey(3), progress=True)
+    print(f"Successfully unrolled; results saved at {out}")
+
+
+if __name__ == "__main__":
+    main()

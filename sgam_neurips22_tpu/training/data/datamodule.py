@@ -84,14 +84,17 @@ class Loader:
         stop = object()
 
         def produce():
-            for b in range(n):
-                batch = self._assemble(
-                    idx[b * self.batch_size : (b + 1) * self.batch_size], rng
-                )
-                if self.device_put is not None:
-                    batch = self.device_put(batch)
-                q.put(batch)
-            q.put(stop)
+            try:
+                for b in range(n):
+                    batch = self._assemble(
+                        idx[b * self.batch_size : (b + 1) * self.batch_size], rng
+                    )
+                    if self.device_put is not None:
+                        batch = self.device_put(batch)
+                    q.put(batch)
+                q.put(stop)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -99,6 +102,8 @@ class Loader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

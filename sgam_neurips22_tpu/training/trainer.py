@@ -1,0 +1,232 @@
+"""Training orchestrator: the Lightning-Trainer replacement.
+
+Rebuild of the reference train harness (train_generative_sensing_model.py:
+10-242 + the callbacks in data/utils/utils.py): config-driven model/data
+construction, LR scaling base_lr * accum * n_devices * batch_size (:196-201),
+data-parallel mesh instead of DDP (:71), step-interval + top-k checkpoints,
+emergency checkpoint on SIGUSR1/SIGTERM/crash (:204-225), periodic image
+grids + metric logs, validation each epoch, online-kmeans refresh trigger.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgam_neurips22_tpu.core.checkpoint import (
+    CheckpointManager,
+    install_signal_checkpoint,
+)
+from sgam_neurips22_tpu.core.config import ConfigDict, save_yaml
+from sgam_neurips22_tpu.core.torch_convert import convert_checkpoint, init_from_ckpt
+from sgam_neurips22_tpu.models.vqgan.model import VQModelConfig
+from sgam_neurips22_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sgam_neurips22_tpu.training.data.datamodule import DataModule
+from sgam_neurips22_tpu.training.kmeans import refresh_codebook, should_refresh
+from sgam_neurips22_tpu.training.lpips import init_lpips
+from sgam_neurips22_tpu.training.losses import LossConfig
+from sgam_neurips22_tpu.training.train_step import (
+    OnlineKMeansConfig,
+    TrainConfig,
+    create_train_state,
+    eval_step,
+    train_step,
+)
+from sgam_neurips22_tpu.utils.logging import ImageLogger, MetricLogger
+
+
+def train_config_from_yaml(cfg: ConfigDict) -> TrainConfig:
+    """Build TrainConfig from a reference-schema YAML tree."""
+    mp = cfg.model.params
+    dp = cfg.data.params
+    model_cfg = VQModelConfig.from_config(mp, dp)
+    loss_cfg = LossConfig.from_dict(dict(mp.lossconfig.params))
+    km = OnlineKMeansConfig.from_dict(
+        dict(mp.get("online_kmeans_config") or {})
+    )
+    return TrainConfig(
+        model=model_cfg,
+        loss=loss_cfg,
+        learning_rate=float(cfg.model.get("base_learning_rate", 4.5e-6)),
+        online_kmeans=km,
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ConfigDict,
+        logdir: str,
+        seed: int = 23,
+        n_devices: Optional[int] = None,
+        accumulate_grad_batches: int = 1,
+        use_wandb: bool = True,
+        lpips_weights: Optional[str] = None,
+        max_steps: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.logdir = logdir
+        self.max_steps = max_steps
+        os.makedirs(logdir, exist_ok=True)
+        # config snapshot (reference SetupCallback, data/utils/utils.py:314-346)
+        save_yaml(cfg, os.path.join(logdir, "config.yaml"))
+
+        import math
+
+        bs = int(cfg.data.params.batch_size)
+        self.mesh = make_mesh(n_devices)
+        ndev = self.mesh.shape["data"]
+        if bs % ndev != 0:
+            # the global batch must shard evenly over 'data'
+            ndev = math.gcd(bs, ndev)
+            print(
+                f"batch_size {bs} not divisible by {self.mesh.shape['data']} "
+                f"devices; using a {ndev}-device data mesh"
+            )
+            self.mesh = make_mesh(ndev)
+
+        base = train_config_from_yaml(cfg)
+        # LR scaling (reference train_generative_sensing_model.py:196-201)
+        lr = accumulate_grad_batches * ndev * bs * base.learning_rate
+        self.train_cfg = TrainConfig(
+            model=base.model, loss=base.loss, learning_rate=lr,
+            online_kmeans=base.online_kmeans,
+        )
+        print(f"lr = {lr:.3e} = {accumulate_grad_batches} x {ndev} x {bs} x {base.learning_rate:.3e}")
+
+        key = jax.random.PRNGKey(seed)
+        self.state = create_train_state(key, self.train_cfg)
+        # cross-phase warm start (reference model.py:27,65-66: ckpt_path with
+        # ignore_keys=['loss.discriminator'])
+        ckpt_path = cfg.model.params.get("ckpt_path")
+        if ckpt_path and os.path.exists(ckpt_path):
+            model_np, disc_np, _ = convert_checkpoint(ckpt_path)
+            self.state["params"] = init_from_ckpt(self.state["params"], model_np)
+            print(f"warm-started model weights from {ckpt_path}")
+
+        if lpips_weights and os.path.exists(lpips_weights):
+            import pickle
+
+            with open(lpips_weights, "rb") as f:
+                self.lpips_params = pickle.load(f)
+            print(f"loaded LPIPS weights from {lpips_weights}")
+        else:
+            self.lpips_params = init_lpips(jax.random.PRNGKey(1))
+            if self.train_cfg.loss.perceptual_weight > 0:
+                print(
+                    "WARNING: using randomly initialized LPIPS backbone "
+                    "(convert torchvision VGG16 via tools/convert_lpips.py "
+                    "for reference-parity perceptual loss)"
+                )
+
+        self.state = replicate(self.state, self.mesh)
+        self.lpips_params = replicate(self.lpips_params, self.mesh)
+
+        self.data = DataModule(
+            device_put=lambda b: shard_batch(b, self.mesh),
+            **{k: v for k, v in cfg.data.params.items()},
+        )
+        self.metrics = MetricLogger(logdir, use_wandb=use_wandb)
+        self.images = ImageLogger(logdir)
+        self.ckpt = CheckpointManager(
+            os.path.join(logdir, "checkpoints"), save_interval_steps=10_000
+        )
+        install_signal_checkpoint(self._emergency_save)
+        self._kmeans_key = jax.random.PRNGKey(seed + 7)
+
+    # ------------------------------------------------------------------
+    def _emergency_save(self) -> None:
+        step = int(self.state["step"])
+        self.ckpt.save(step, jax.device_get(self.state), force=True)
+        self.ckpt.wait()
+
+    def resume(self) -> None:
+        latest = self.ckpt.latest_step()
+        if latest is not None:
+            self.state = self.ckpt.restore(jax.device_get(self.state), latest)
+            self.state = replicate(self.state, self.mesh)
+            print(f"resumed from step {latest}")
+
+    def _maybe_kmeans_refresh(self, step: int) -> None:
+        km = self.train_cfg.online_kmeans
+        if not km.do_online_kmeans_clustering or "kmeans" not in self.state:
+            return
+        ks = self.state["kmeans"]
+        if should_refresh(ks, step, km.inactive_threshold, km.frequency, km.start_global_step):
+            self._kmeans_key, sub = jax.random.split(self._kmeans_key)
+            cb, new_ks = refresh_codebook(
+                sub, self.state["params"]["quantize"]["embedding"], ks,
+                km.online_kmeans_word_timeout,
+            )
+            self.state["params"]["quantize"]["embedding"] = cb
+            self.state["kmeans"] = new_ks
+            print(f"online k-means refresh at step {step}")
+
+    def fit(self, epochs: int = 1) -> None:
+        try:
+            for epoch in range(epochs):
+                for batch in self.data.train_loader():
+                    step = int(self.state["step"])
+                    self._maybe_kmeans_refresh(step)
+                    self.state, logs = train_step(
+                        self.state, batch, self.lpips_params, self.train_cfg
+                    )
+                    if step % 50 == 0:
+                        self.metrics.log(
+                            {k: v for k, v in logs.items()}, step
+                        )
+                    if self.images.should_log(step):
+                        self._log_images(batch, "train", step)
+                    self.ckpt.save(step, jax.device_get(self.state))
+                    if self.max_steps and step >= self.max_steps:
+                        self.validate()
+                        return
+                self.validate()
+        except BaseException:
+            # crash -> emergency checkpoint (reference 'melk', :221-225)
+            self._emergency_save()
+            raise
+
+    def validate(self) -> None:
+        step = int(self.state["step"])
+        agg: Dict[str, list] = {}
+        usage = np.zeros(self.train_cfg.model.n_embed, np.int64)
+        n = 0
+        for batch in self.data.val_loader():
+            logs = eval_step(self.state, batch, self.lpips_params, self.train_cfg)
+            idx = np.asarray(logs.pop("val/indices"))
+            usage += np.bincount(idx.reshape(-1), minlength=len(usage))
+            for k, v in logs.items():
+                agg.setdefault(k, []).append(float(v))
+            n += 1
+        if n:
+            out = {k: float(np.mean(v)) for k, v in agg.items()}
+            # codebook-usage telemetry (reference model.py:408-410)
+            out["val/codebook_active_percentage"] = float((usage > 0).mean())
+            self.metrics.log(out, step)
+            print({k: round(v, 5) for k, v in out.items()})
+
+    def _log_images(self, batch: Dict[str, Any], split: str, step: int) -> None:
+        from sgam_neurips22_tpu.models.conditioning import get_x
+        from sgam_neurips22_tpu.models.vqgan.model import forward
+
+        cfg = self.train_cfg
+        if cfg.phase == "conditional_generation":
+            cond = get_x(batch, cfg.model.dataset, depth_range=cfg.model.depth_range)
+            x, x_dst, mask = cond.x, cond.x_dst, cond.extrapolation_mask
+        else:
+            x = x_dst = batch["image"]
+            mask = None
+        res = forward(self.state["params"], cfg.model, x, extrapolation_mask=mask)
+        panels = {
+            "warped_input": np.asarray(x[..., :3]),
+            "warped_disparity": np.asarray(x[..., 3:]),
+            "reconstructions": np.asarray(res.xrec[..., :3]),
+            "reconstruction_disparities": np.asarray(res.xrec[..., 3:]),
+            "gt_rgb": np.asarray(x_dst[..., :3]),
+            "gt_disparity": np.asarray(x_dst[..., 3:]),
+        }
+        self.images.log(step, split, panels)

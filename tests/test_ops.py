@@ -1,0 +1,28 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgam_neurips22_tpu.models.vqgan.quantize import codeword_distances
+from sgam_neurips22_tpu.ops.vq_pallas import nearest_codeword
+
+
+def test_nearest_codeword_matches_xla():
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(256, 64)).astype(np.float32))
+    cb = jnp.asarray(rng.normal(size=(1500, 64)).astype(np.float32))  # non-multiple of tile
+    idx, dist = nearest_codeword(z, cb, tile_k=512, interpret=True)
+    ref = codeword_distances(z, cb)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(jnp.argmin(ref, axis=1)))
+    np.testing.assert_allclose(
+        np.asarray(dist), np.asarray(jnp.min(ref, axis=1)), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_nearest_codeword_unaligned_p():
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.normal(size=(13, 32)).astype(np.float32))  # P not multiple of 8
+    cb = jnp.asarray(rng.normal(size=(256, 32)).astype(np.float32))
+    idx, _ = nearest_codeword(z, cb, tile_k=128, interpret=True)
+    ref = jnp.argmin(codeword_distances(z, cb), axis=1)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref))

@@ -1,0 +1,94 @@
+"""Train CLI: config-driven codebook / conditional-generation training.
+
+Rebuild of reference train_generative_sensing_model.py (:10-242):
+left-to-right YAML merge + dotlist overrides, run naming from log_keywords,
+LR scaling, resume, post-mortem debugging. DDP is replaced by the data mesh
+(all local devices by default).
+
+Usage (same shape as the reference):
+  python train.py --base configs/codebooks/clevr-infinite.yaml -t \
+      [data.params.dataset_dir=/path/to/data] [model.params.xyz=...]
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-b", "--base", nargs="*", default=[], help="YAML config(s), merged left-to-right")
+    p.add_argument("-t", "--train", action="store_true", default=True)
+    p.add_argument("-r", "--resume", default="", help="resume from logdir or checkpoint")
+    p.add_argument("-n", "--name", default="", help="run name suffix")
+    p.add_argument("-s", "--seed", type=int, default=23)
+    p.add_argument("-l", "--logdir", default="logs")
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--lpips_weights", default="weights/lpips.pkl")
+    p.add_argument("--no_wandb", action="store_true")
+    p.add_argument("--debug", action="store_true", help="post-mortem pdb on crash")
+    return p
+
+
+def run_name(cfg, opt) -> str:
+    """Run naming from log_keywords key paths
+    (reference train_generative_sensing_model.py:45-57)."""
+    parts = []
+    for key in str(cfg.get("log_keywords", "")).split(","):
+        key = key.strip()
+        if key:
+            val = cfg.get_path(key)
+            if val is not None:
+                parts.append(f"{key.split('.')[-1]}={val}")
+    now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+    return "_".join([now, *parts, opt.name]).rstrip("_")
+
+
+def main(argv=None) -> None:
+    from sgam_neurips22_tpu.core.config import load_configs, load_yaml, merge
+    from sgam_neurips22_tpu.training.trainer import Trainer
+
+    opt, unknown = get_parser().parse_known_args(argv)
+
+    if opt.resume and os.path.isdir(opt.resume):
+        # reconstitute config from the run dir (reference :26-43)
+        cfg = load_configs(
+            [os.path.join(opt.resume, "config.yaml"), *opt.base], unknown
+        )
+        logdir = opt.resume
+    else:
+        cfg = load_configs(opt.base, unknown)
+        logdir = os.path.join(opt.logdir, run_name(cfg, opt))
+
+    trainer = Trainer(
+        cfg,
+        logdir,
+        seed=opt.seed,
+        n_devices=opt.n_devices,
+        accumulate_grad_batches=opt.accumulate_grad_batches,
+        use_wandb=not opt.no_wandb and not opt.debug,
+        lpips_weights=opt.lpips_weights,
+        max_steps=opt.max_steps,
+    )
+    if opt.resume:
+        trainer.resume()
+    try:
+        trainer.fit(epochs=opt.epochs)
+        trainer.validate()
+    except Exception:
+        if opt.debug:
+            import pdb
+            import traceback
+
+            traceback.print_exc()
+            pdb.post_mortem()
+        raise
+
+
+if __name__ == "__main__":
+    main()
