@@ -1,8 +1,8 @@
 """Benchmark: generated 256^2 RGB-D frames/sec on one chip.
 
-Runs the flagship CLEVR-Infinite conditional-generation loop (splat
-conditioning, topk=1, num_src=5 — BASELINE.json config #2/#4) on whatever
-accelerator `jax.devices()` offers, and prints ONE JSON line:
+Runs the flagship CLEVR-Infinite conditional-generation unroll (splat
+conditioning, topk=1, num_src=5 — BASELINE.json config #2/#4) as the fused
+whole-scene XLA program and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
 vs_baseline is measured against the driver's north-star target of 20
 frames/sec/chip (BASELINE.md; the reference repo publishes no throughput
@@ -10,20 +10,30 @@ numbers of its own).
 
 Random weights are used when no converted checkpoint is present — weight
 values do not change the compute graph or its speed.
+
+Flags: --frames N (default 64), --rgbd_integration, --per_step (unfused
+host-driven loop), --profile <dir> (XProf trace).
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 NORTH_STAR_FPS = 20.0
 
 
 def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--rgbd_integration", action="store_true")
+    p.add_argument("--per_step", action="store_true")
+    p.add_argument("--profile", default=None)
+    args = p.parse_args()
+
     from sgam_neurips22_tpu.models import init_vqmodel
     from sgam_neurips22_tpu.pipeline.scene_generation import (
         InfiniteSceneGeneration,
@@ -34,12 +44,13 @@ def main() -> None:
     model_cfg = _flagship_configs()
     params = init_vqmodel(jax.random.PRNGKey(0), model_cfg)
 
-    rows, cols = 6, 6
+    rows = int(np.ceil((args.frames + 1) ** 0.5))
+    cols = rows
     cfg = SceneGenConfig(
         dataset="clevr-infinite",
         output_dim=(rows, cols),
         topk=1,
-        use_rgbd_integration=False,
+        use_rgbd_integration=args.rgbd_integration,
     )
     rng = np.random.default_rng(0)
     seed_rgb = rng.uniform(-1, 1, (256, 256, 3)).astype(np.float32)
@@ -47,29 +58,34 @@ def main() -> None:
     gen = InfiniteSceneGeneration(
         params, model_cfg, cfg, seeds=[((0, 0), seed_rgb, seed_depth)]
     )
+    n_frames = gen.grid.size - 1
+    fused = not args.per_step
 
-    key = jax.random.PRNGKey(3)
-    # warm-up: compile the step
-    key, k = jax.random.split(key)
-    gen.one_step_prediction(gen.order[gen.curr], k)
-    gen.curr += 1
+    # warm-up/compile
+    gen.scene_expansion(jax.random.PRNGKey(3), fused=fused)
     jax.block_until_ready(gen.rgb_buf)
 
-    n_timed = 0
-    t0 = time.perf_counter()
-    while gen.curr < rows * cols:
-        key, k = jax.random.split(key)
-        gen.one_step_prediction(gen.order[gen.curr], k)
-        gen.curr += 1
-        n_timed += 1
-    jax.block_until_ready(gen.rgb_buf)
-    dt = time.perf_counter() - t0
+    def timed_run():
+        gen.reset()
+        t0 = time.perf_counter()
+        gen.scene_expansion(jax.random.PRNGKey(3), fused=fused)
+        jax.block_until_ready(gen.rgb_buf)
+        return time.perf_counter() - t0
 
-    fps = n_timed / dt
+    if args.profile:
+        from sgam_neurips22_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            dt = timed_run()
+    else:
+        dt = min(timed_run() for _ in range(3))
+
+    fps = n_frames / dt
+    mode = "map-requery" if args.rgbd_integration else "splat"
     print(
         json.dumps(
             {
-                "metric": "generated 256^2 RGB-D frames/sec/chip (CLEVR conditional step, topk=1, 5 srcs)",
+                "metric": f"generated 256^2 RGB-D frames/sec/chip (CLEVR conditional unroll, {mode}, topk=1, 5 srcs)",
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / NORTH_STAR_FPS, 3),

@@ -148,7 +148,19 @@ class InfiniteSceneGeneration:
         if cfg.use_rgbd_integration:
             self.tsdf_cfg = _tsdf_config(cfg, self.grid)
             self.volume = create_volume(self.tsdf_cfg)
-        for coord, rgb, depth in seeds:
+        self._seeds = seeds
+        self.reset()
+
+    def reset(self) -> None:
+        """(Re)initialize buffers + visited state from the seed frames."""
+        h, w = self.cfg.image_resolution
+        g = self.grid.size
+        self.rgb_buf = jnp.zeros((g, h, w, 3), jnp.float32)
+        self.depth_buf = jnp.zeros((g, h, w), jnp.float32)
+        self.grid.visited[:] = False
+        if self.cfg.use_rgbd_integration:
+            self.volume = create_volume(self.tsdf_cfg)
+        for coord, rgb, depth in self._seeds:
             idx = self.grid.index(*coord)
             self.rgb_buf = self.rgb_buf.at[idx].set(jnp.asarray(rgb))
             self.depth_buf = self.depth_buf.at[idx].set(jnp.asarray(depth))
@@ -160,7 +172,12 @@ class InfiniteSceneGeneration:
     # ------------------------------------------------------------- device fns
     @partial(jax.jit, static_argnames=("self",))
     def _splat_step(self, params, rgb_buf, depth_buf, src_idx, src_mask, r_rels, t_rels, ks, rng):
-        """Splat-conditioned generation of one frame."""
+        return self._splat_core(
+            params, rgb_buf, depth_buf, src_idx, src_mask, r_rels, t_rels, ks, rng
+        )
+
+    def _splat_core(self, params, rgb_buf, depth_buf, src_idx, src_mask, r_rels, t_rels, ks, rng):
+        """Splat-conditioned generation of one frame (traceable core)."""
         h, w = self.cfg.image_resolution
         batch = {
             "dst_img": jnp.zeros((1, h, w, 3), jnp.float32),
@@ -178,6 +195,15 @@ class InfiniteSceneGeneration:
 
     @partial(jax.jit, static_argnames=("self",))
     def _map_requery_step(
+        self, params, rgb_buf, depth_buf, volume, src_idx, src_mask,
+        tgt_w2c, t_tgt2srcs, ks, rng,
+    ):
+        return self._map_requery_core(
+            params, rgb_buf, depth_buf, volume, src_idx, src_mask,
+            tgt_w2c, t_tgt2srcs, ks, rng,
+        )
+
+    def _map_requery_core(
         self, params, rgb_buf, depth_buf, volume, src_idx, src_mask,
         tgt_w2c, t_tgt2srcs, ks, rng,
     ):
@@ -232,10 +258,12 @@ class InfiniteSceneGeneration:
         )
 
     # ------------------------------------------------------------- host loop
-    def _gather_step_inputs(self, tgt_coord):
+    def _gather_step_inputs_host(self, tgt_coord, curr):
+        """Numpy step inputs (source indices padded to num_src + mask,
+        relative transforms) for the `curr`-th step."""
         n = self.cfg.effective_num_src
         src_coords = select_sources(
-            self.grid, self.order, self.curr, tgt_coord, n, self.cfg.dataset
+            self.grid, self.order, curr, tgt_coord, n, self.cfg.dataset
         )
         idxs = [self.grid.index(*c) for c in src_coords]
         mask = np.zeros(n, np.float32)
@@ -254,20 +282,22 @@ class InfiniteSceneGeneration:
             t_tgt2srcs[i] = np.linalg.inv(t_rel)
         ks = np.tile(self.grid.K.astype(np.float32), (n, 1, 1))
         return (
-            jnp.asarray(pad, jnp.int32),
-            jnp.asarray(mask),
-            jnp.asarray(r_rels),
-            jnp.asarray(t_rels),
-            jnp.asarray(t_tgt2srcs),
-            jnp.asarray(ks),
-            jnp.asarray(t_tgt.astype(np.float32)),
+            np.asarray(pad, np.int32),
+            mask,
+            r_rels,
+            t_rels,
+            t_tgt2srcs,
+            ks,
+            t_tgt.astype(np.float32),
             tgt_idx,
         )
 
     def one_step_prediction(self, tgt_coord, rng) -> None:
         """Generate the frame at tgt_coord (reference :860-926)."""
         (src_idx, src_mask, r_rels, t_rels, t_tgt2srcs, ks, tgt_w2c, tgt_idx) = (
-            self._gather_step_inputs(tgt_coord)
+            jax.tree_util.tree_map(
+                jnp.asarray, self._gather_step_inputs_host(tgt_coord, self.curr)
+            )
         )
         if self.cfg.use_rgbd_integration:
             rgb, depth, _, _ = self._map_requery_step(
@@ -285,21 +315,119 @@ class InfiniteSceneGeneration:
         if self.volume is not None:
             self.volume = self._integrate(tgt_idx)
 
-    def scene_expansion(self, rng: Optional[jax.Array] = None, progress: bool = False):
-        """Unroll the full grid (reference :433-450). Returns (rgb, depth)
-        device buffers [G, H, W, 3] / [G, H, W]."""
-        rng = jax.random.PRNGKey(3) if rng is None else rng
-        total = self.grid.size - 1
-        it = range(total)
-        if progress:
-            from tqdm import tqdm
+    def build_plan(self):
+        """Precompute the full unroll plan (per-step target, sources, relative
+        transforms) as stacked arrays. The visit order and radius-based source
+        selection are deterministic given the seed layout, so the entire plan
+        is known before the first device step — this is what lets the whole
+        autoregressive unroll run as ONE jitted fori_loop with zero host
+        round-trips (the reference re-plans + reloads files every step,
+        inference_pipeline.py:533-538)."""
+        saved_visited = self.grid.visited.copy()
+        n = self.cfg.effective_num_src
+        plan = {k: [] for k in ("tgt", "src_idx", "src_mask", "r_rels", "t_rels", "t_tgt2srcs", "tgt_w2c")}
+        try:
+            curr = self.curr
+            while curr < len(self.order):
+                tgt_coord = self.order[curr]
+                (src_idx, src_mask, r_rels, t_rels, t_tgt2srcs, _, tgt_w2c, tgt_idx) = (
+                    self._gather_step_inputs_host(tgt_coord, curr)
+                )
+                plan["tgt"].append(tgt_idx)
+                plan["src_idx"].append(src_idx)
+                plan["src_mask"].append(src_mask)
+                plan["r_rels"].append(r_rels)
+                plan["t_rels"].append(t_rels)
+                plan["t_tgt2srcs"].append(t_tgt2srcs)
+                plan["tgt_w2c"].append(tgt_w2c)
+                self.grid.visited[tgt_idx] = True
+                curr += 1
+        finally:
+            self.grid.visited = saved_visited
+        return {k: jnp.asarray(np.stack(v)) for k, v in plan.items()}
 
-            it = tqdm(it)
-        for _ in it:
-            rng, step_rng = jax.random.split(rng)
-            tgt = self.order[self.curr]
-            self.one_step_prediction(tgt, step_rng)
-            self.curr += 1
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2, 3))
+    def _fused_unroll(self, params, rgb_buf, depth_buf, plan, ks, rng):
+        """The whole scene unroll as one compiled program (splat mode)."""
+        t_total = plan["tgt"].shape[0]
+
+        def body(t, carry):
+            rgb_buf, depth_buf = carry
+            rgb, depth, _, _ = self._splat_core(
+                params, rgb_buf, depth_buf,
+                plan["src_idx"][t], plan["src_mask"][t],
+                plan["r_rels"][t], plan["t_rels"][t], ks,
+                jax.random.fold_in(rng, t),
+            )
+            tgt = plan["tgt"][t]
+            return rgb_buf.at[tgt].set(rgb), depth_buf.at[tgt].set(depth)
+
+        return jax.lax.fori_loop(0, t_total, body, (rgb_buf, depth_buf))
+
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2, 3, 4))
+    def _fused_unroll_tsdf(self, params, rgb_buf, depth_buf, volume, plan, ks, rng):
+        """Whole unroll with TSDF map re-query conditioning + per-frame fusion."""
+        t_total = plan["tgt"].shape[0]
+
+        def body(t, carry):
+            rgb_buf, depth_buf, volume = carry
+            rgb, depth, _, _ = self._map_requery_core(
+                params, rgb_buf, depth_buf, volume,
+                plan["src_idx"][t], plan["src_mask"][t],
+                plan["tgt_w2c"][t], plan["t_tgt2srcs"][t], ks,
+                jax.random.fold_in(rng, t),
+            )
+            tgt = plan["tgt"][t]
+            rgb_buf = rgb_buf.at[tgt].set(rgb)
+            depth_buf = depth_buf.at[tgt].set(depth)
+            volume = integrate(
+                volume, self.tsdf_cfg, depth, (rgb + 1.0) / 2.0,
+                ks[0], plan["tgt_w2c"][t],
+            )
+            return rgb_buf, depth_buf, volume
+
+        return jax.lax.fori_loop(0, t_total, body, (rgb_buf, depth_buf, volume))
+
+    def scene_expansion(
+        self,
+        rng: Optional[jax.Array] = None,
+        progress: bool = False,
+        fused: bool = True,
+    ):
+        """Unroll the full grid (reference :433-450). Returns (rgb, depth)
+        device buffers [G, H, W, 3] / [G, H, W].
+
+        fused=True compiles the entire unroll into one XLA program (one
+        dispatch for the whole scene); fused=False steps frame-by-frame from
+        the host (useful for debugging / streaming out frames)."""
+        rng = jax.random.PRNGKey(3) if rng is None else rng
+        if fused:
+            plan = self.build_plan()
+            ks = jnp.asarray(
+                np.tile(self.grid.K.astype(np.float32), (self.cfg.effective_num_src, 1, 1))
+            )
+            if self.cfg.use_rgbd_integration:
+                self.rgb_buf, self.depth_buf, self.volume = self._fused_unroll_tsdf(
+                    self.params, self.rgb_buf, self.depth_buf, self.volume, plan, ks, rng
+                )
+            else:
+                self.rgb_buf, self.depth_buf = self._fused_unroll(
+                    self.params, self.rgb_buf, self.depth_buf, plan, ks, rng
+                )
+            self.grid.visited[:] = True
+            self.curr = len(self.order)
+        else:
+            total = self.grid.size - 1
+            it = range(total)
+            if progress:
+                from tqdm import tqdm
+
+                it = tqdm(it)
+            for _ in it:
+                rng, step_rng = jax.random.split(rng)
+                tgt = self.order[self.curr]
+                self.one_step_prediction(tgt, step_rng)
+                self.curr += 1
         if self.output_dir:
             self.export_frames(self.output_dir)
             self.export_point_clouds(self.output_dir)

@@ -41,7 +41,7 @@ def test_roundtrip_params_to_torch_and_back():
     assert "encoder.mid.attn_1.q.weight" in sd
     assert "decoder.up.1.upsample.conv.weight" in sd
     assert "quantize.embedding.weight" in sd
-    assert "quant_conv.weight" in sd and sd["quant_conv.weight"].shape == (16, 16, 1, 1)
+    assert "quant_conv.weight" in sd and sd["quant_conv.weight"].shape == (16, 32, 1, 1)
     assert "conv_in.weight" in sd and sd["conv_in.weight"].shape == (4, 5, 1, 1)
 
     model, disc, lpips = convert_state_dict(sd)
