@@ -1,0 +1,116 @@
+"""Triangle-mesh extraction from the TSDF volume (native C++ via ctypes).
+
+Replaces the reference's Open3D `extract_triangle_mesh`
+(inference_pipeline.py:786). The kernel (native/mesh_extract.cpp, marching
+tetrahedra) runs host-side — mesh export is offline batch work, the
+on-device loop never meshes. Auto-builds the shared library with `make` on
+first use if g++ is available.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libsgam_native.so"))
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _load_lib(build: bool = True) -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and build:
+        subprocess.run(
+            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+        )
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.tsdf_extract_mesh.restype = ctypes.c_int64
+    lib.tsdf_extract_mesh.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # tsdf
+        ctypes.POINTER(ctypes.c_float),  # weight
+        ctypes.POINTER(ctypes.c_float),  # color
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # dims
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,  # origin
+        ctypes.c_float,  # voxel
+        ctypes.c_float,  # iso
+        ctypes.POINTER(ctypes.c_float),  # out verts
+        ctypes.POINTER(ctypes.c_float),  # out cols
+        ctypes.c_int64,  # max tris
+    ]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load_lib()
+        return True
+    except Exception:
+        return False
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def extract_mesh(volume, cfg, iso: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+    """TSDFVolume -> (vertices [T, 3, 3], colors [T, 3, 3]) triangle soup.
+
+    Args:
+      volume: mapping.tsdf.TSDFVolume; cfg: TSDFConfig.
+    """
+    lib = _load_lib()
+    tsdf = np.ascontiguousarray(np.asarray(volume.tsdf), np.float32)
+    weight = np.ascontiguousarray(np.asarray(volume.weight), np.float32)
+    color = np.ascontiguousarray(np.asarray(volume.color), np.float32)
+    x, y, z = cfg.dims
+    ox, oy, oz = cfg.origin
+    empty = np.zeros(1, np.float32)
+    n = lib.tsdf_extract_mesh(
+        _fp(tsdf), _fp(weight), _fp(color), x, y, z,
+        ox, oy, oz, cfg.voxel_size, iso, _fp(empty), _fp(empty), 0,
+    )
+    if n == 0:
+        return np.zeros((0, 3, 3), np.float32), np.zeros((0, 3, 3), np.float32)
+    verts = np.empty((n, 3, 3), np.float32)
+    cols = np.empty((n, 3, 3), np.float32)
+    n2 = lib.tsdf_extract_mesh(
+        _fp(tsdf), _fp(weight), _fp(color), x, y, z,
+        ox, oy, oz, cfg.voxel_size, iso, _fp(verts), _fp(cols), n,
+    )
+    assert n2 == n
+    return verts, cols
+
+
+def write_mesh_ply(path: str, verts: np.ndarray, cols: np.ndarray) -> None:
+    """Triangle soup -> binary PLY with vertex colors + face indices."""
+    t = len(verts)
+    v = verts.reshape(-1, 3)
+    c = np.clip(cols.reshape(-1, 3) * 255.0, 0, 255).astype(np.uint8)
+    faces = np.arange(3 * t, dtype="<i4").reshape(t, 3)
+    header = [
+        "ply", "format binary_little_endian 1.0",
+        f"element vertex {3 * t}",
+        "property float x", "property float y", "property float z",
+        "property uchar red", "property uchar green", "property uchar blue",
+        f"element face {t}",
+        "property list uchar int vertex_indices",
+        "end_header", "",
+    ]
+    vrec = np.zeros(3 * t, dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+    vrec["xyz"] = v
+    vrec["rgb"] = c
+    frec = np.zeros(t, dtype=[("n", "u1"), ("idx", "<i4", 3)])
+    frec["n"] = 3
+    frec["idx"] = faces
+    with open(path, "wb") as f:
+        f.write("\n".join(header).encode())
+        f.write(vrec.tobytes())
+        f.write(frec.tobytes())

@@ -474,3 +474,15 @@ class InfiniteSceneGeneration:
         if self.volume is not None:
             pts, cols = extract_points(self.volume, self.tsdf_cfg)
             write_ply(os.path.join(out_dir, "rgbd_integrated_mesh.ply"), pts, cols)
+            # triangle mesh via the native extractor (reference
+            # extract_triangle_mesh, inference_pipeline.py:786)
+            try:
+                from sgam_neurips22_tpu.mapping.mesh import extract_mesh, write_mesh_ply
+
+                verts, vcols = extract_mesh(self.volume, self.tsdf_cfg)
+                if len(verts):
+                    write_mesh_ply(
+                        os.path.join(out_dir, "rgbd_integrated_trimesh.ply"), verts, vcols
+                    )
+            except Exception as e:  # native lib optional
+                print(f"mesh extraction skipped: {e}")
