@@ -76,6 +76,10 @@ class TrainConfig:
     use_vq: bool = True
     online_kmeans: OnlineKMeansConfig = field(default_factory=OnlineKMeansConfig)
     splat_collision: str = "nearest"
+    # explicit gradient accumulation (the reference's accumulate_grad_batches
+    # only entered the LR formula because of manual optimization,
+    # SURVEY.md section 2.10; here it actually accumulates via optax.MultiSteps)
+    accumulate_grad_batches: int = 1
 
     @property
     def phase(self) -> str:
@@ -89,12 +93,15 @@ def split_params(params: Dict[str, Any], phase: str):
     return trainable, frozen
 
 
-def make_optimizers(lr: float):
-    """Adam betas (0.5, 0.9) for both (reference model.py:422,432)."""
-    return (
-        optax.adam(lr, b1=0.5, b2=0.9),
-        optax.adam(lr, b1=0.5, b2=0.9),
-    )
+def make_optimizers(lr: float, accumulate: int = 1):
+    """Adam betas (0.5, 0.9) for both (reference model.py:422,432), with
+    optional true gradient accumulation."""
+    ae = optax.adam(lr, b1=0.5, b2=0.9)
+    disc = optax.adam(lr, b1=0.5, b2=0.9)
+    if accumulate > 1:
+        ae = optax.MultiSteps(ae, every_k_schedule=accumulate)
+        disc = optax.MultiSteps(disc, every_k_schedule=accumulate)
+    return ae, disc
 
 
 def create_train_state(
@@ -105,7 +112,7 @@ def create_train_state(
     k_model, k_disc = jax.random.split(key)
     params = init_vqmodel(k_model, cfg.model)
     disc_params, disc_state = init_discriminator(k_disc, cfg.loss.disc_config)
-    opt_ae, opt_disc = make_optimizers(cfg.learning_rate)
+    opt_ae, opt_disc = make_optimizers(cfg.learning_rate, cfg.accumulate_grad_batches)
     trainable, _ = split_params(params, cfg.phase)
     state: Dict[str, Any] = {
         "params": params,
@@ -170,7 +177,7 @@ def train_step(
     """One full training step (AE update + discriminator update)."""
     step = state["step"]
     x, x_dst, mask = _model_inputs(batch, cfg)
-    opt_ae, opt_disc = make_optimizers(cfg.learning_rate)
+    opt_ae, opt_disc = make_optimizers(cfg.learning_rate, cfg.accumulate_grad_batches)
 
     # ---- optimizer 0: autoencoder (reference model.py:327-334)
     trainable, frozen = split_params(state["params"], cfg.phase)

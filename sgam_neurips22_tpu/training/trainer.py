@@ -165,6 +165,16 @@ class Trainer:
             self.state["kmeans"] = new_ks
             print(f"online k-means refresh at step {step}")
 
+    def _step_cfg(self, step: int) -> TrainConfig:
+        """Pre-VQ passthrough while step < vq_step_threshold
+        (reference model.py:83-85,117)."""
+        threshold = self.train_cfg.model.vq_step_threshold
+        if threshold and step < threshold:
+            from dataclasses import replace
+
+            return replace(self.train_cfg, use_vq=False)
+        return self.train_cfg
+
     def fit(self, epochs: int = 1) -> None:
         try:
             for epoch in range(epochs):
@@ -172,7 +182,7 @@ class Trainer:
                     step = int(self.state["step"])
                     self._maybe_kmeans_refresh(step)
                     self.state, logs = train_step(
-                        self.state, batch, self.lpips_params, self.train_cfg
+                        self.state, batch, self.lpips_params, self._step_cfg(step)
                     )
                     if step % 50 == 0:
                         self.metrics.log(
