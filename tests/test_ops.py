@@ -19,6 +19,21 @@ def test_nearest_codeword_matches_xla():
     )
 
 
+def test_flash_attention_matches_xla():
+    from sgam_neurips22_tpu.ops.attention_pallas import flash_attention
+
+    rng = np.random.default_rng(2)
+    b, s, c = 2, 300, 128  # non-multiple of block sizes
+    q = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    ours = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    scale = 1.0 / np.sqrt(c)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k) * scale
+    ref = jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(logits, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
 def test_nearest_codeword_unaligned_p():
     rng = np.random.default_rng(1)
     z = jnp.asarray(rng.normal(size=(13, 32)).astype(np.float32))  # P not multiple of 8
