@@ -31,6 +31,8 @@ def main() -> None:
     p.add_argument("--frames", type=int, default=64)
     p.add_argument("--rgbd_integration", action="store_true")
     p.add_argument("--per_step", action="store_true")
+    p.add_argument("--batch_scenes", type=int, default=0,
+                   help="throughput mode: unroll N scenes concurrently")
     p.add_argument("--profile", default=None)
     args = p.parse_args()
 
@@ -61,16 +63,34 @@ def main() -> None:
     n_frames = gen.grid.size - 1
     fused = not args.per_step
 
-    # warm-up/compile
-    gen.scene_expansion(jax.random.PRNGKey(3), fused=fused)
-    jax.block_until_ready(gen.rgb_buf)
+    if args.batch_scenes:
+        s = args.batch_scenes
+        seeds_batch = [
+            [((0, 0),
+              rng.uniform(-1, 1, (256, 256, 3)).astype(np.float32),
+              rng.uniform(8, 14, (256, 256)).astype(np.float32))]
+            for _ in range(s)
+        ]
+        out = gen.scene_expansion_batched(seeds_batch, jax.random.PRNGKey(3))
+        jax.block_until_ready(out[0])
 
-    def timed_run():
-        gen.reset()
-        t0 = time.perf_counter()
+        def timed_run():
+            t0 = time.perf_counter()
+            out = gen.scene_expansion_batched(seeds_batch, jax.random.PRNGKey(3))
+            jax.block_until_ready(out[0])
+            return (time.perf_counter() - t0) / s
+
+    else:
+        # warm-up/compile
         gen.scene_expansion(jax.random.PRNGKey(3), fused=fused)
         jax.block_until_ready(gen.rgb_buf)
-        return time.perf_counter() - t0
+
+        def timed_run():
+            gen.reset()
+            t0 = time.perf_counter()
+            gen.scene_expansion(jax.random.PRNGKey(3), fused=fused)
+            jax.block_until_ready(gen.rgb_buf)
+            return time.perf_counter() - t0
 
     if args.profile:
         from sgam_neurips22_tpu.utils.profiling import trace
@@ -82,6 +102,8 @@ def main() -> None:
 
     fps = n_frames / dt
     mode = "map-requery" if args.rgbd_integration else "splat"
+    if args.batch_scenes:
+        mode += f", {args.batch_scenes} scenes batched"
     print(
         json.dumps(
             {

@@ -388,6 +388,50 @@ class InfiniteSceneGeneration:
 
         return jax.lax.fori_loop(0, t_total, body, (rgb_buf, depth_buf, volume))
 
+    def scene_expansion_batched(self, seeds_batch: list, rng: Optional[jax.Array] = None):
+        """Generate MANY scenes concurrently (production throughput mode).
+
+        All scenes share this generator's trajectory/order (so one unroll
+        plan serves the batch); each scene has its own seed frames + RNG
+        stream. The whole batch runs as one vmapped fused unroll — the MXU
+        sees batch-B convs instead of batch-1, which is where TPUs earn
+        their throughput. Splat mode only (the TSDF volume would need S
+        copies; extend when a batched map is required).
+
+        Args:
+          seeds_batch: list over scenes of [(coord, rgb, depth), ...] —
+            every scene must seed the SAME coords (plan is shared).
+        Returns:
+          (rgb [S, G, H, W, 3], depth [S, G, H, W]).
+        """
+        if self.cfg.use_rgbd_integration:
+            raise NotImplementedError("batched mode currently supports splat conditioning")
+        rng = jax.random.PRNGKey(3) if rng is None else rng
+        h, w = self.cfg.image_resolution
+        g = self.grid.size
+        s = len(seeds_batch)
+        coords0 = sorted(c for c, _, _ in seeds_batch[0])
+        for seeds in seeds_batch[1:]:
+            if sorted(c for c, _, _ in seeds) != coords0:
+                raise ValueError("all scenes must seed the same grid coords")
+        rgb_bufs = np.zeros((s, g, h, w, 3), np.float32)
+        depth_bufs = np.zeros((s, g, h, w), np.float32)
+        for si, seeds in enumerate(seeds_batch):
+            for coord, rgb, depth in seeds:
+                idx = self.grid.index(*coord)
+                rgb_bufs[si, idx] = rgb
+                depth_bufs[si, idx] = depth
+        plan = self.build_plan()
+        ks = jnp.asarray(
+            np.tile(self.grid.K.astype(np.float32), (self.cfg.effective_num_src, 1, 1))
+        )
+        rngs = jax.random.split(rng, s)
+        unroll = jax.vmap(
+            lambda rb, db, rg: self._fused_unroll(self.params, rb, db, plan, ks, rg),
+            in_axes=(0, 0, 0),
+        )
+        return unroll(jnp.asarray(rgb_bufs), jnp.asarray(depth_bufs), rngs)
+
     def scene_expansion(
         self,
         rng: Optional[jax.Array] = None,

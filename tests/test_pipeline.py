@@ -148,6 +148,28 @@ def test_scene_expansion_rgbd_integration_2x2(tiny_params):
     assert float(gen.volume.weight.max()) > 0
 
 
+def test_batched_scene_expansion(tiny_params):
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2), num_src=2, topk=1,
+        image_resolution=(H, W),
+    )
+    rng = np.random.default_rng(7)
+    seeds_batch = []
+    for _ in range(3):
+        rgb = rng.uniform(-1, 1, (H, W, 3)).astype(np.float32)
+        depth = rng.uniform(8, 14, (H, W)).astype(np.float32)
+        seeds_batch.append([((0, 0), rgb, depth)])
+    gen = InfiniteSceneGeneration(
+        tiny_params, TINY, cfg, seeds=seeds_batch[0], intrinsics=TINY_K
+    )
+    rgb_bufs, depth_bufs = gen.scene_expansion_batched(seeds_batch, jax.random.PRNGKey(0))
+    assert rgb_bufs.shape == (3, 4, H, W, 3)
+    assert np.isfinite(np.asarray(rgb_bufs)).all()
+    # scene 0 seed preserved; scenes differ (different seeds)
+    np.testing.assert_allclose(np.asarray(rgb_bufs[0, 0]), seeds_batch[0][0][1], atol=1e-6)
+    assert not np.allclose(np.asarray(rgb_bufs[0, 1]), np.asarray(rgb_bufs[1, 1]))
+
+
 def test_topk_sampling_pipeline(tiny_params):
     cfg = SceneGenConfig(
         dataset="clevr-infinite", output_dim=(2, 2), num_src=2, topk=4,
