@@ -70,9 +70,20 @@ GOOGLE_EARTH_CODEC = DepthCodec(
     depth_range=(0.099975586, 4.765625),
 )
 
+# KITTI-360: depth in [3, 75] (a vestigial branch in the reference —
+# inference_pipeline.py:908, data/base.py:155-158 — kept for parity).
+KITTI360_CODEC = DepthCodec(
+    name="kitti360",
+    shift=0.0,
+    inv_lo=1.0 / 3.0,
+    inv_hi=1.0 / 75.0,
+    depth_range=(3.0, 75.0),
+)
+
 CODECS = {
     "clevr-infinite": CLEVR_CODEC,
     "google_earth": GOOGLE_EARTH_CODEC,
+    "kitti360": KITTI360_CODEC,
 }
 
 

@@ -27,6 +27,13 @@ import jax
 import jax.numpy as jnp
 
 
+def reparameterize(rng: jax.Array, mu: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """VAE reparameterization trick (reference model.py:126-129, unused by
+    the main VQ path)."""
+    std = jnp.exp(0.5 * logvar)
+    return mu + std * jax.random.normal(rng, std.shape, std.dtype)
+
+
 def positional_embedder(num_freqs: int, include_input: bool = True, log_sampling: bool = True):
     """Returns (embed_fn, out_dim_multiplier_per_channel)."""
     if log_sampling:

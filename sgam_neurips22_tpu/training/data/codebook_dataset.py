@@ -78,3 +78,46 @@ class CodebookDataset:
             depth = ray_to_z_np(depth, self.K)
         disparity = encode_disparity_np(depth, self.dataset)
         return {"image": np.concatenate([img, disparity[..., None]], axis=-1)}
+
+
+class NumpyImageDataset:
+    """RGB images stored as .npy arrays (reference data/base.py `NumpyPaths`
+    :190-198): [1, 3, H, W] uint8 -> [-1, 1] float NHWC."""
+
+    def __init__(self, paths, image_resolution=(256, 256)):
+        self.paths = list(paths)
+        self.image_resolution = tuple(image_resolution)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> dict:
+        from PIL import Image
+
+        arr = np.load(self.paths[i]).squeeze(0).transpose(1, 2, 0).astype(np.uint8)
+        img = Image.fromarray(arr, mode="RGB").resize(
+            (self.image_resolution[1], self.image_resolution[0]), Image.LANCZOS
+        )
+        return {"image": (np.asarray(img, np.float32) / 127.5 - 1.0)}
+
+
+class ConcatDatasetWithIndex:
+    """Concatenate datasets; items gain the sub-dataset index (reference
+    data/base.py `ConcatDatasetWithIndex` :15)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self.cumsum = np.cumsum([len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self.cumsum[-1]) if len(self.datasets) else 0
+
+    def __getitem__(self, i: int):
+        ds_idx = int(np.searchsorted(self.cumsum, i, side="right"))
+        base = 0 if ds_idx == 0 else int(self.cumsum[ds_idx - 1])
+        item = self.datasets[ds_idx][i - base]
+        if isinstance(item, dict):
+            item = dict(item)
+            item["dataset_index"] = ds_idx
+            return item
+        return item, ds_idx

@@ -185,6 +185,7 @@ class Trainer:
                         self.state, batch, self.lpips_params, self._step_cfg(step)
                     )
                     if step % 50 == 0:
+                        logs["lr"] = self.train_cfg.learning_rate  # LR monitor
                         self.metrics.log(
                             {k: v for k, v in logs.items()}, step
                         )

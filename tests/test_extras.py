@@ -98,3 +98,66 @@ def test_frechet_distance_mean_shift():
     mu2, s2 = compute_statistics(f2)
     d = calculate_frechet_distance(mu1, s1, mu2, s2)
     np.testing.assert_allclose(d, 4.0 * 8, rtol=0.05)  # ||shift||^2 = 4*8
+
+
+def test_find_extrapolation_regions():
+    from sgam_neurips22_tpu.pipeline.analysis import find_extrapolation_regions
+
+    mask = np.zeros((100, 100), bool)
+    mask[10:90, 10:90] = True  # 6400 px > 4000
+    mask[0:3, 0:3] = True  # tiny, filtered
+    regions = find_extrapolation_regions(mask, min_area=4000)
+    assert len(regions) == 1
+    assert regions[0]["area"] == 80 * 80
+    assert regions[0]["bbox"] == (10, 10, 89, 89)
+
+
+def test_get_closest_anchor():
+    from sgam_neurips22_tpu.pipeline.selection import get_closest_anchor
+    from sgam_neurips22_tpu.pipeline.trajectory import prepare_grid
+
+    grid = prepare_grid("clevr-infinite", (3, 3))
+    anchor = get_closest_anchor(grid, [0, 8], tgt_idx=1)
+    assert anchor == 0  # (0,1) is nearer to (0,0) than to (2,2)
+
+
+def test_kitti360_codec_roundtrip():
+    import jax.numpy as jnp
+    from sgam_neurips22_tpu.geometry.codec import get_codec
+
+    codec = get_codec("kitti360")
+    d = jnp.linspace(3.0, 75.0, 32)
+    np.testing.assert_allclose(
+        np.asarray(codec.decode(codec.encode(d))), np.asarray(d), rtol=1e-4
+    )
+
+
+def test_concat_dataset_with_index():
+    from sgam_neurips22_tpu.training.data.codebook_dataset import (
+        ConcatDatasetWithIndex,
+    )
+
+    class Fake:
+        def __init__(self, n, tag):
+            self.n, self.tag = n, tag
+        def __len__(self):
+            return self.n
+        def __getitem__(self, i):
+            return {"v": self.tag * 10 + i}
+
+    ds = ConcatDatasetWithIndex([Fake(2, 1), Fake(3, 2)])
+    assert len(ds) == 5
+    assert ds[1] == {"v": 11, "dataset_index": 0}
+    assert ds[2] == {"v": 20, "dataset_index": 1}
+    assert ds[4] == {"v": 22, "dataset_index": 1}
+
+
+def test_reparameterize_stats():
+    import jax
+    from sgam_neurips22_tpu.models.extras import reparameterize
+
+    mu = jnp.full((10000,), 2.0)
+    logvar = jnp.zeros((10000,))
+    z = reparameterize(jax.random.PRNGKey(0), mu, logvar)
+    assert abs(float(z.mean()) - 2.0) < 0.05
+    assert abs(float(z.std()) - 1.0) < 0.05
