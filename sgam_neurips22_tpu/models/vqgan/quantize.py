@@ -117,6 +117,16 @@ def quantize_topk(
     """
     b, h, w, d = z.shape
     dist = codeword_distances(z.reshape(-1, d), codebook)  # [P, K]
+    if topk == 1:
+        # single-candidate distribution == argmin: skip the (expensive)
+        # top_k sort over K and the categorical draw entirely. This is the
+        # inference CLI's default parity mode (reference
+        # inference_pipeline.py:24 topk=1).
+        idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        sampled = jnp.broadcast_to(idx[:, None], (idx.shape[0], sample_number))
+        sampled = sampled.reshape(b, h, w, sample_number)
+        z_q = jnp.moveaxis(codebook[sampled].astype(z.dtype), 3, 1)
+        return TopKSampleResult(z_q=z_q, indices=jnp.moveaxis(sampled, 3, 1).astype(jnp.int32))
     neg_topk, top_idx = jax.lax.top_k(-dist, topk)  # [P, k] nearest first
     logits = neg_topk / temperature
     draws = jax.random.categorical(
