@@ -14,6 +14,7 @@ Parameter tree layout mirrors the torch state_dict:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -73,6 +74,7 @@ class ForwardResult(NamedTuple):
     quant: jnp.ndarray  # same shape family as xrec's latents
 
 
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
 def init_vqmodel(key: jax.Array, cfg: VQModelConfig, dtype=jnp.float32) -> Params:
     k0, k1, k2, k3, k4, k5 = jax.random.split(key, 6)
     p: Params = {}

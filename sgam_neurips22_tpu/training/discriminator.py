@@ -47,6 +47,10 @@ def _layer_plan(cfg: DiscConfig):
     return plan, idx + 1
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
 def init_discriminator(key: jax.Array, cfg: DiscConfig = DiscConfig(), dtype=jnp.float32):
     """Returns (params, state). Init matches reference weights_init."""
     plan, length = _layer_plan(cfg)

@@ -41,6 +41,10 @@ _SHIFT = jnp.array([-0.030, -0.088, -0.188], jnp.float32)
 _SCALE = jnp.array([0.458, 0.448, 0.450], jnp.float32)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
 def init_lpips(key: jax.Array, dtype=jnp.float32) -> Params:
     keys = jax.random.split(key, len(VGG16_CONVS) + 5)
     convs = [
