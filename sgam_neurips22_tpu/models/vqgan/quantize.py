@@ -46,7 +46,13 @@ def codeword_distances(z_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarra
     return (
         jnp.sum(z32**2, axis=1, keepdims=True)
         + jnp.sum(e32**2, axis=1)[None, :]
-        - 2.0 * jnp.dot(z32, e32.T, preferred_element_type=jnp.float32)
+        # full f32 matmul: TPU's default bf16 MXU passes would perturb
+        # argmin ties vs the torch reference (SURVEY.md hard part #1)
+        - 2.0 * jnp.dot(
+            z32, e32.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     )
 
 
