@@ -34,7 +34,13 @@ def main() -> None:
     p.add_argument("--batch_scenes", type=int, default=0,
                    help="throughput mode: unroll N scenes concurrently")
     p.add_argument("--profile", default=None)
+    p.add_argument("--matmul_precision", default=None,
+                   choices=["bfloat16", "default", "float32", "highest"],
+                   help="jax default_matmul_precision for the whole run")
     args = p.parse_args()
+
+    if args.matmul_precision:
+        jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     from sgam_neurips22_tpu.models import init_vqmodel
     from sgam_neurips22_tpu.pipeline.scene_generation import (
@@ -72,12 +78,12 @@ def main() -> None:
             for _ in range(s)
         ]
         out = gen.scene_expansion_batched(seeds_batch, jax.random.PRNGKey(3))
-        jax.block_until_ready(out[0])
+        float(abs(out[0]).sum())
 
         def timed_run():
             t0 = time.perf_counter()
             out = gen.scene_expansion_batched(seeds_batch, jax.random.PRNGKey(3))
-            jax.block_until_ready(out[0])
+            float(abs(out[0]).sum())
             return (time.perf_counter() - t0) / s
 
     else:
@@ -89,7 +95,9 @@ def main() -> None:
             gen.reset()
             t0 = time.perf_counter()
             gen.scene_expansion(jax.random.PRNGKey(3), fused=fused)
-            jax.block_until_ready(gen.rgb_buf)
+            # checksum forces a device->host readback: block_until_ready
+            # alone proved unreliable through the remote-TPU tunnel
+            float(abs(gen.rgb_buf).sum())
             return time.perf_counter() - t0
 
     if args.profile:

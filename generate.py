@@ -71,9 +71,16 @@ def main(argv=None) -> None:
     p.add_argument("--trajectory", default="grid",
                    choices=["grid", "spiral", "cylinder", "trajectory"])
     p.add_argument("--pose_file", default=None)
+    p.add_argument("--matmul_precision", default="default",
+                   choices=["bfloat16", "default", "float32", "highest"],
+                   help="float32/highest = bit-parity mode for "
+                        "checkpoint-exact unrolls (measured: no speed "
+                        "difference end-to-end on v5e)")
     opt = p.parse_args(argv)
 
     import jax
+
+    jax.config.update("jax_default_matmul_precision", opt.matmul_precision)
 
     from sgam_neurips22_tpu.core.config import load_yaml
     from sgam_neurips22_tpu.core.torch_convert import convert_checkpoint, init_from_ckpt

@@ -117,3 +117,30 @@ def test_torch_load_roundtrip(tmp_path):
     assert set(orig) == set(back)
     for k in orig:
         np.testing.assert_array_equal(orig[k], back[k], err_msg=k)
+
+
+def test_export_import_torch_ckpt_roundtrip(tmp_path):
+    """JAX params -> torch .ckpt -> JAX params round trip (tools/export_torch_ckpt)."""
+    torch = pytest.importorskip("torch")
+    import pickle
+    import subprocess
+    import sys
+
+    from sgam_neurips22_tpu.core.torch_convert import convert_checkpoint
+
+    params = init_vqmodel(jax.random.PRNGKey(3), TINY)
+    src = tmp_path / "params.pkl"
+    with open(src, "wb") as f:
+        pickle.dump(jax.device_get(params), f)
+    out = tmp_path / "exported.ckpt"
+    subprocess.run(
+        [sys.executable, "tools/export_torch_ckpt.py", str(src), "--out", str(out)],
+        check=True, cwd="/root/repo",
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+    model, _, _ = convert_checkpoint(str(out))
+    orig = dict(tree_paths(params))
+    back = dict(tree_paths(model))
+    assert set(orig) == set(back)
+    for k in orig:
+        np.testing.assert_array_equal(orig[k], back[k], err_msg=k)

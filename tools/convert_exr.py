@@ -10,6 +10,11 @@ set OPENCV_IO_ENABLE_OPENEXR=1 before cv2 import, which this script does.
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import glob
 import os
