@@ -27,7 +27,13 @@ class CheckpointManager:
         directory: str,
         save_interval_steps: int = 10_000,
         max_to_keep: int = 3,
+        monitor: Optional[str] = None,
+        best_mode: str = "min",
     ):
+        """With `monitor` set, keeps the top-k checkpoints by that metric
+        (the reference's ModelCheckpoint monitor/save_top_k behavior,
+        train_generative_sensing_model.py:124-140); pass the metrics dict to
+        `save`."""
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
@@ -35,13 +41,18 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(
                 save_interval_steps=save_interval_steps,
                 max_to_keep=max_to_keep,
+                best_fn=(lambda m: m[monitor]) if monitor else None,
+                best_mode=best_mode,
                 create=True,
             ),
         )
 
-    def save(self, step: int, state: Any, force: bool = False) -> bool:
+    def save(
+        self, step: int, state: Any, force: bool = False,
+        metrics: Optional[dict] = None,
+    ) -> bool:
         return self._mgr.save(
-            step, args=ocp.args.StandardSave(state), force=force
+            step, args=ocp.args.StandardSave(state), force=force, metrics=metrics
         )
 
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:

@@ -155,6 +155,45 @@ def quantize_topk(
     return TopKSampleResult(z_q=z_q, indices=indices)
 
 
+def load_codebook_init(path: str, n_embed: int, embed_dim: int) -> jnp.ndarray:
+    """Codebook initialization from a k-means .npy file (reference
+    quantize.py:231-235 `kmean_init_codebook_path`)."""
+    import numpy as np
+
+    kd = np.load(path)
+    if kd.shape != (n_embed, embed_dim):
+        raise ValueError(
+            f"codebook init {path} has shape {kd.shape}, expected {(n_embed, embed_dim)}"
+        )
+    return jnp.asarray(kd.astype(np.float32))
+
+
+def remap_to_used(
+    indices: jnp.ndarray, used: jnp.ndarray, rng: jax.Array | None = None,
+    unknown_index: int | str = "random",
+) -> jnp.ndarray:
+    """Map full-codebook indices onto a reduced `used` subset (reference
+    quantize.py:251-263): positions whose code is not in `used` get a random
+    used-index (or a fixed `unknown_index`)."""
+    n_used = used.shape[0]
+    match = indices[..., None] == used  # [..., n_used]
+    new = jnp.argmax(match, axis=-1)
+    unknown = ~jnp.any(match, axis=-1)
+    if unknown_index == "random":
+        if rng is None:
+            raise ValueError("unknown_index='random' needs an rng")
+        rand = jax.random.randint(rng, indices.shape, 0, n_used)
+        return jnp.where(unknown, rand, new)
+    return jnp.where(unknown, int(unknown_index), new)
+
+
+def unmap_to_all(indices: jnp.ndarray, used: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of remap_to_used (reference quantize.py:265-273); indices
+    beyond the used table clamp to entry 0."""
+    safe = jnp.where(indices >= used.shape[0], 0, indices)
+    return used[safe]
+
+
 def embed_code(codebook: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     """Codeword lookup (reference quantize.py:327-342), NHWC output."""
     return codebook[indices]

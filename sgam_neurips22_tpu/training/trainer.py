@@ -99,6 +99,17 @@ class Trainer:
 
         key = jax.random.PRNGKey(seed)
         self.state = create_train_state(key, self.train_cfg)
+        # codebook init from a k-means .npy (reference quantize.py:231-235)
+        km_path = (cfg.model.params.get("online_kmeans_config") or {}).get(
+            "kmean_init_codebook_path"
+        )
+        if km_path and os.path.exists(km_path):
+            from sgam_neurips22_tpu.models.vqgan.quantize import load_codebook_init
+
+            self.state["params"]["quantize"]["embedding"] = load_codebook_init(
+                km_path, self.train_cfg.model.n_embed, self.train_cfg.model.embed_dim
+            )
+            print(f"initialized codebook from {km_path}")
         # cross-phase warm start (reference model.py:27,65-66: ckpt_path with
         # ignore_keys=['loss.discriminator'])
         ckpt_path = cfg.model.params.get("ckpt_path")
@@ -133,6 +144,15 @@ class Trainer:
         self.images = ImageLogger(logdir)
         self.ckpt = CheckpointManager(
             os.path.join(logdir, "checkpoints"), save_interval_steps=10_000
+        )
+        # top-k by monitored val metric (reference ModelCheckpoint,
+        # train CLI :124-140; monitor defaults to val/rec_loss)
+        self.monitor = cfg.model.params.get("monitor", "val/rec_loss")
+        self.best_ckpt = CheckpointManager(
+            os.path.join(logdir, "checkpoints_best"),
+            save_interval_steps=1,
+            max_to_keep=3,
+            monitor=self.monitor,
         )
         install_signal_checkpoint(self._emergency_save)
         self._kmeans_key = jax.random.PRNGKey(seed + 7)
@@ -219,6 +239,10 @@ class Trainer:
             out["val/codebook_active_percentage"] = float((usage > 0).mean())
             self.metrics.log(out, step)
             print({k: round(v, 5) for k, v in out.items()})
+            if self.monitor in out:
+                self.best_ckpt.save(
+                    step, jax.device_get(self.state), metrics=out, force=True
+                )
 
     def _log_images(self, batch: Dict[str, Any], split: str, step: int) -> None:
         from sgam_neurips22_tpu.models.conditioning import get_x

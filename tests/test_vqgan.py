@@ -193,3 +193,29 @@ def test_distances_nonnegative():
     z = jax.random.normal(jax.random.PRNGKey(6), (10, 8))
     d = codeword_distances(z, cb)
     assert float(d.min()) > -1e-4
+
+
+def test_remap_to_used_and_back():
+    from sgam_neurips22_tpu.models.vqgan.quantize import remap_to_used, unmap_to_all
+
+    used = jnp.asarray([3, 7, 11])
+    idx = jnp.asarray([[3, 7], [11, 5]])  # 5 is unknown
+    remapped = remap_to_used(idx, used, unknown_index=0)
+    np.testing.assert_array_equal(np.asarray(remapped), [[0, 1], [2, 0]])
+    back = unmap_to_all(remapped, used)
+    np.testing.assert_array_equal(np.asarray(back), [[3, 7], [11, 3]])
+    # random unknown handling stays within range
+    r = remap_to_used(idx, used, rng=jax.random.PRNGKey(0))
+    assert int(r.max()) < 3 and int(r.min()) >= 0
+
+
+def test_load_codebook_init(tmp_path):
+    from sgam_neurips22_tpu.models.vqgan.quantize import load_codebook_init
+
+    kd = np.random.default_rng(0).normal(size=(16, 8)).astype(np.float32)
+    path = str(tmp_path / "kmeans.npy")
+    np.save(path, kd)
+    cb = load_codebook_init(path, 16, 8)
+    np.testing.assert_allclose(np.asarray(cb), kd)
+    with pytest.raises(ValueError):
+        load_codebook_init(path, 32, 8)
