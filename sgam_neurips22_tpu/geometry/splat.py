@@ -85,6 +85,29 @@ def _zbuffer_scatter(
     big = jnp.finfo(z.dtype).max
 
     if collision == "nearest":
+        # ONE scatter-min over a packed int32 key: 12-bit quantized depth in
+        # the high bits (winner = nearest surface, ties broken toward the
+        # smallest point index in the low 19 bits). XLA TPU scatter runs
+        # ~7.6 ns/element (serial), so collapsing the previous
+        # scatter-min(z) + 327k-gather + scatter-min(idx) pipeline into one
+        # op cut the splat cost roughly 3x (see NOTES.md trace analysis).
+        # Depth quantization affects ONLY tie resolution between surfaces
+        # closer than (far-near)/4096; the output depth is the winner's
+        # exact f32 z.
+        z_lo = jnp.min(jnp.where(valid, z, jnp.inf))
+        z_hi = jnp.max(jnp.where(valid, z, -jnp.inf))
+        scale = 4095.0 / jnp.maximum(z_hi - z_lo, 1e-6)
+        z_q = jnp.clip(((z - z_lo) * scale), 0, 4095).astype(jnp.int32)
+        idx31 = jnp.arange(z.shape[0], dtype=jnp.int32)
+        if z.shape[0] >= (1 << 19):
+            raise ValueError("packed nearest-splat supports < 2^19 points; use collision='nearest_exact'")
+        key = (z_q << 19) | idx31
+        imax = jnp.iinfo(jnp.int32).max
+        key = jnp.where(valid, key, imax)
+        win = jnp.full((n_pix,), imax, jnp.int32).at[p].min(key, mode="drop")
+        has_point = win != imax
+        safe_idx = jnp.where(has_point, win & ((1 << 19) - 1), 0)
+    elif collision == "nearest_exact":
         key = jnp.where(valid, z, big)
         win_z = (
             jnp.full((n_pix,), big, z.dtype).at[p].min(key, mode="drop")
@@ -170,7 +193,7 @@ def render_projection_from_srcs(
             src_masks.astype(bool), h * w, axis=1, total_repeat_length=n * h * w
         )
         valid = valid & per_point
-    if collision == "nearest":
+    if collision in ("nearest", "nearest_exact"):
         # Points behind the camera must not win the z-buffer (the reference's
         # last-write mode can scatter them; 'last' keeps that for parity).
         valid = valid & (zs > 0)

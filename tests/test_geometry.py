@@ -219,3 +219,35 @@ def test_grid_sample_matches_torch():
             .numpy()
         )
         np.testing.assert_allclose(ours, theirs, atol=2e-5, err_msg=mode)
+
+
+def test_splat_nearest_exact_matches_packed():
+    """The packed-key fast path and the exact 3-op path agree (away from
+    z-quantization tie buckets)."""
+    rng = np.random.default_rng(9)
+    h = w = 16
+    k = make_intrinsics(10.0, 10.0, (w - 1) / 2, (h - 1) / 2)
+    depth = rng.uniform(5.0, 15.0, size=(1, 3, h, w)).astype(np.float32)
+    feats = rng.uniform(-1, 1, size=(1, 3, h, w, 3)).astype(np.float32)
+    rot = np.asarray(euler2mat(jnp.asarray([[0.05, -0.03, 0.02]])))[0]
+    t = np.eye(4, dtype=np.float32)
+    t[:3, :3] = rot
+    t[:3, 3] = [0.1, -0.2, 0.05]
+    t_all = jnp.broadcast_to(jnp.asarray(t), (1, 3, 4, 4))
+    ks = jnp.broadcast_to(k, (1, 3, 3, 3))
+    fast = render_projection_from_srcs(
+        jnp.asarray(feats), jnp.asarray(depth), k[None], ks, t_all,
+        collision="nearest",
+    )
+    exact = render_projection_from_srcs(
+        jnp.asarray(feats), jnp.asarray(depth), k[None], ks, t_all,
+        collision="nearest_exact",
+    )
+    # identical winners except where quantization buckets tie -> compare
+    # depth maps; disagreements must be within one quantization bucket
+    d_f = np.asarray(fast.raw_depth)
+    d_e = np.asarray(exact.raw_depth)
+    bucket = (depth.max() - depth.min()) / 4095
+    assert np.abs(d_f - d_e).max() <= bucket * 3 + 1e-6
+    same = np.isclose(d_f, d_e)
+    assert same.mean() > 0.98  # almost all pixels pick the same point
