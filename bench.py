@@ -26,6 +26,35 @@ import numpy as np
 NORTH_STAR_FPS = 20.0
 
 
+def bench_vqgan_roundtrip() -> dict:
+    """BASELINE.json config #1: encode/quantize/decode one 256^2 RGB-D frame."""
+    import time
+
+    import jax.numpy as jnp
+
+    from sgam_neurips22_tpu.models import init_vqmodel
+    from sgam_neurips22_tpu.models.vqgan.model import forward
+    from __graft_entry__ import _flagship_configs
+
+    cfg = _flagship_configs()
+    params = init_vqmodel(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 256, 256, 4), minval=-1, maxval=1)
+    fn = jax.jit(lambda p, x: forward(p, cfg, x).xrec)
+    float(abs(fn(params, x)).sum())
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(params, x)
+    float(abs(out).sum())
+    dt = (time.perf_counter() - t0) / n
+    return {
+        "metric": "VQGAN encode/quantize/decode 256^2 RGB-D frames/sec",
+        "value": round(1.0 / dt, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(1.0 / dt / NORTH_STAR_FPS, 3),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=64)
@@ -37,10 +66,24 @@ def main() -> None:
     p.add_argument("--matmul_precision", default=None,
                    choices=["bfloat16", "default", "float32", "highest"],
                    help="jax default_matmul_precision for the whole run")
+    p.add_argument("--config", default="flythrough",
+                   choices=["flythrough", "vqgan", "step", "integration", "google_earth"],
+                   help="BASELINE.json benchmark config: vqgan=#1 roundtrip, "
+                        "step=#2 single conditional step (frames=2), "
+                        "integration=#3 8-pose RGB-D integration, "
+                        "flythrough=#4 CLEVR unroll, google_earth=#5")
     args = p.parse_args()
 
     if args.matmul_precision:
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+
+    if args.config == "vqgan":
+        print(json.dumps(bench_vqgan_roundtrip()))
+        return
+    if args.config == "step":
+        args.frames, args.per_step = 8, True
+    elif args.config == "integration":
+        args.frames, args.rgbd_integration = 8, True
 
     from sgam_neurips22_tpu.models import init_vqmodel
     from sgam_neurips22_tpu.pipeline.scene_generation import (
@@ -50,19 +93,33 @@ def main() -> None:
     from __graft_entry__ import _flagship_configs
 
     model_cfg = _flagship_configs()
+    dataset = "clevr-infinite"
+    depth_lo, depth_hi = 8.0, 14.0
+    if args.config == "google_earth":
+        from dataclasses import replace
+
+        dataset = "google_earth"
+        model_cfg = replace(
+            model_cfg, n_embed=4096, dataset=dataset,
+            depth_range=(0.099975586, 4.765625),
+        )
+        depth_lo, depth_hi = 0.5, 4.0
     params = init_vqmodel(jax.random.PRNGKey(0), model_cfg)
 
-    rows = int(np.ceil((args.frames + 1) ** 0.5))
-    cols = rows
+    if args.config == "google_earth":
+        rows, cols = args.frames + 1, 1  # long aerial trajectory (ref 100x1)
+    else:
+        rows = int(np.ceil((args.frames + 1) ** 0.5))
+        cols = rows
     cfg = SceneGenConfig(
-        dataset="clevr-infinite",
+        dataset=dataset,
         output_dim=(rows, cols),
         topk=1,
         use_rgbd_integration=args.rgbd_integration,
     )
     rng = np.random.default_rng(0)
     seed_rgb = rng.uniform(-1, 1, (256, 256, 3)).astype(np.float32)
-    seed_depth = rng.uniform(8, 14, (256, 256)).astype(np.float32)
+    seed_depth = rng.uniform(depth_lo, depth_hi, (256, 256)).astype(np.float32)
     gen = InfiniteSceneGeneration(
         params, model_cfg, cfg, seeds=[((0, 0), seed_rgb, seed_depth)]
     )
@@ -115,7 +172,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"generated 256^2 RGB-D frames/sec/chip (CLEVR conditional unroll, {mode}, topk=1, 5 srcs)",
+                "metric": f"generated 256^2 RGB-D frames/sec/chip ({dataset} conditional unroll, {mode}, topk=1, {cfg.effective_num_src} srcs)",
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / NORTH_STAR_FPS, 3),

@@ -147,6 +147,22 @@ def _trilinear(
     return vals, obs
 
 
+def _nearest(
+    grid: jnp.ndarray, weight: jnp.ndarray, pts: jnp.ndarray, cfg: TSDFConfig
+):
+    """Nearest-voxel TSDF sample — 1 gather per point instead of trilinear's
+    8. TPU gathers run ~7 ns/element on the scalar path (NOTES.md), so this
+    is the fast path for in-loop raycasting; trilinear stays available for
+    offline quality."""
+    g = jnp.round((pts - jnp.asarray(cfg.origin)) / cfg.voxel_size - 0.5).astype(jnp.int32)
+    dims = jnp.asarray(cfg.dims)
+    inb = jnp.all((g >= 0) & (g < dims), axis=-1)
+    gc = jnp.clip(g, 0, dims - 1)
+    vals = grid[gc[..., 0], gc[..., 1], gc[..., 2]]
+    wv = weight[gc[..., 0], gc[..., 1], gc[..., 2]]
+    return vals, inb & (wv > 0)
+
+
 def render_depth(
     vol: TSDFVolume,
     cfg: TSDFConfig,
@@ -156,6 +172,7 @@ def render_depth(
     near: float,
     far: float,
     n_samples: int = 192,
+    interp: str = "trilinear",
 ) -> jnp.ndarray:
     """Raycast the TSDF to a target-view z-depth image [H, W].
 
@@ -179,7 +196,8 @@ def render_depth(
         cam_center[None, None, None, :]
         + dirs_world[:, :, None, :] * ts[None, None, :, None]
     )  # [H, W, S, 3]
-    vals, obs = _trilinear(vol.tsdf, vol.weight, pts, cfg)  # [H, W, S]
+    sample = _trilinear if interp == "trilinear" else _nearest
+    vals, obs = sample(vol.tsdf, vol.weight, pts, cfg)  # [H, W, S]
 
     # first observed + -> - zero crossing along each ray
     prev_v, next_v = vals[..., :-1], vals[..., 1:]

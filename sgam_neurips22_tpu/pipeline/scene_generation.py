@@ -83,6 +83,9 @@ class SceneGenConfig:
     tsdf_dims: Tuple[int, int, int] = (256, 256, 128)
     tsdf_origin: Optional[Tuple[float, float, float]] = None
     raycast_samples: int = 192
+    # nearest-voxel TSDF sampling in the loop (8x fewer gathers than
+    # trilinear; gathers are the raycast bottleneck, see NOTES.md)
+    raycast_interp: str = "nearest"
     pose_file: Optional[str] = None
 
     @property
@@ -215,6 +218,7 @@ class InfiniteSceneGeneration:
         tgt_depth = render_depth(
             volume, self.tsdf_cfg, ks[0], tgt_w2c, (h, w),
             near=near, far=far, n_samples=self.cfg.raycast_samples,
+            interp=self.cfg.raycast_interp,
         )
         warped = inverse_warp_multi_src(
             rgb_buf[src_idx][None],

@@ -239,7 +239,7 @@ class Trainer:
             out["val/codebook_active_percentage"] = float((usage > 0).mean())
             self.metrics.log(out, step)
             print({k: round(v, 5) for k, v in out.items()})
-            if self.monitor in out:
+            if self.monitor in out and self.best_ckpt.latest_step() != step:
                 self.best_ckpt.save(
                     step, jax.device_get(self.state), metrics=out, force=True
                 )

@@ -108,3 +108,17 @@ def test_unproject_identity_depth():
     assert pts.shape == (H * W, 3)
     np.testing.assert_allclose(pts[:, 2], 2.0, rtol=1e-5)
     assert np.allclose(cols, 0.25)  # (-0.5+1)/2
+
+
+def test_nearest_interp_raycast_close_to_trilinear():
+    vol = create_volume(CFG)
+    depth, rgb = flat_wall_frame(3.0)
+    vol = integrate(vol, CFG, depth, rgb, K, jnp.eye(4))
+    tri = np.asarray(render_depth(vol, CFG, K, jnp.eye(4), (H, W), 1.0, 5.0, 128))
+    near = np.asarray(
+        render_depth(vol, CFG, K, jnp.eye(4), (H, W), 1.0, 5.0, 128, interp="nearest")
+    )
+    hit = (tri > 0) & (near > 0)
+    assert hit.mean() > 0.2
+    # agreement within ~1 voxel where both hit
+    assert np.abs(tri[hit] - near[hit]).max() < CFG.voxel_size * 2

@@ -78,8 +78,7 @@ def main(argv=None) -> None:
     if opt.resume:
         trainer.resume()
     try:
-        trainer.fit(epochs=opt.epochs)
-        trainer.validate()
+        trainer.fit(epochs=opt.epochs)  # fit validates per epoch / at max_steps
     except Exception:
         if opt.debug:
             import pdb
