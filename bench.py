@@ -25,6 +25,18 @@ import numpy as np
 
 NORTH_STAR_FPS = 20.0
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (first compile of the flagship
+    unroll is minutes; repeats become seconds)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 
 def bench_vqgan_roundtrip() -> dict:
     """BASELINE.json config #1: encode/quantize/decode one 256^2 RGB-D frame."""
@@ -73,6 +85,8 @@ def main() -> None:
                         "integration=#3 8-pose RGB-D integration, "
                         "flythrough=#4 CLEVR unroll, google_earth=#5")
     args = p.parse_args()
+
+    _enable_compilation_cache()
 
     if args.matmul_precision:
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)

@@ -15,6 +15,18 @@ import argparse
 import glob
 import os
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (first compile of the flagship
+    unroll is minutes; repeats become seconds)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 import numpy as np
 
 
@@ -77,6 +89,8 @@ def main(argv=None) -> None:
                         "checkpoint-exact unrolls (measured: no speed "
                         "difference end-to-end on v5e)")
     opt = p.parse_args(argv)
+
+    _enable_compilation_cache()
 
     import jax
 

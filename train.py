@@ -16,6 +16,18 @@ import datetime
 import os
 import sys
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (first compile of the flagship
+    unroll is minutes; repeats become seconds)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 
 def get_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
@@ -54,6 +66,8 @@ def main(argv=None) -> None:
     from sgam_neurips22_tpu.training.trainer import Trainer
 
     opt, unknown = get_parser().parse_known_args(argv)
+
+    _enable_compilation_cache()
 
     if opt.resume and os.path.isdir(opt.resume):
         # reconstitute config from the run dir (reference :26-43)
