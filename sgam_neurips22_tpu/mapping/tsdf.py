@@ -191,26 +191,42 @@ def render_depth(
     cam_center = -r.T @ t
     dirs_world = jnp.einsum("ji,hwj->hwi", r, dirs_cam)
 
-    ts = jnp.linspace(near, far, n_samples, dtype=jnp.float32)  # [S]
-    pts = (
-        cam_center[None, None, None, :]
-        + dirs_world[:, :, None, :] * ts[None, None, :, None]
-    )  # [H, W, S, 3]
     sample = _trilinear if interp == "trilinear" else _nearest
-    vals, obs = sample(vol.tsdf, vol.weight, pts, cfg)  # [H, W, S]
 
-    # first observed + -> - zero crossing along each ray
-    prev_v, next_v = vals[..., :-1], vals[..., 1:]
-    prev_o, next_o = obs[..., :-1], obs[..., 1:]
-    crossing = (prev_v > 0) & (next_v <= 0) & prev_o & next_o  # [H, W, S-1]
-    first = jnp.argmax(crossing, axis=-1)  # [H, W]
-    hit = jnp.any(crossing, axis=-1)
-    pv = jnp.take_along_axis(prev_v, first[..., None], axis=-1)[..., 0]
-    nv = jnp.take_along_axis(next_v, first[..., None], axis=-1)[..., 0]
-    t0 = ts[first]
-    dt = ts[1] - ts[0]
+    def find_crossing(t_starts, dt, s):
+        """Sample s points per ray at t_starts + k*dt; return (t_lo of the
+        first observed +->- crossing, prev val, next val, hit)."""
+        ts = t_starts[..., None] + dt * jnp.arange(s, dtype=jnp.float32)
+        pts = (
+            cam_center[None, None, None, :]
+            + dirs_world[:, :, None, :] * ts[..., None]
+        )  # [H, W, s, 3]
+        vals, obs = sample(vol.tsdf, vol.weight, pts, cfg)
+        prev_v, next_v = vals[..., :-1], vals[..., 1:]
+        prev_o, next_o = obs[..., :-1], obs[..., 1:]
+        crossing = (prev_v > 0) & (next_v <= 0) & prev_o & next_o
+        first = jnp.argmax(crossing, axis=-1)
+        hit = jnp.any(crossing, axis=-1)
+        pv = jnp.take_along_axis(prev_v, first[..., None], axis=-1)[..., 0]
+        nv = jnp.take_along_axis(next_v, first[..., None], axis=-1)[..., 0]
+        t_lo = t_starts + first * dt
+        return t_lo, pv, nv, hit
+
+    # Two-level search: a coarse pass brackets the surface, a fine pass
+    # (n_fine samples inside one coarse step) localizes it. Gathers dominate
+    # raycast cost on TPU (~7 ns/element, NOTES.md), so this needs
+    # n_coarse + n_fine samples instead of n_samples for the same effective
+    # resolution of n_coarse * n_fine.
+    n_coarse = max(n_samples // 4, 2)
+    n_fine = 8
+    dt_coarse = (far - near) / (n_coarse - 1)
+    t0 = jnp.full((h, w), near, jnp.float32)
+    t_lo, _, _, hit_c = find_crossing(t0, dt_coarse, n_coarse)
+    dt_fine = dt_coarse / (n_fine - 1)
+    t_lo_f, pv, nv, hit_f = find_crossing(t_lo, dt_fine, n_fine)
+    hit = hit_c & hit_f
     frac = pv / jnp.maximum(pv - nv, 1e-12)
-    depth = t0 + dt * frac
+    depth = t_lo_f + dt_fine * frac
     return jnp.where(hit, depth, 0.0)
 
 

@@ -159,9 +159,15 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _emergency_save(self) -> None:
-        step = int(self.state["step"])
-        self.ckpt.save(step, jax.device_get(self.state), force=True)
-        self.ckpt.wait()
+        """Must never raise: it runs from signal handlers and crash paths."""
+        try:
+            step = int(self.state["step"])
+            if self.ckpt.latest_step() == step:
+                return  # this step is already persisted
+            self.ckpt.save(step, jax.device_get(self.state), force=True)
+            self.ckpt.wait()
+        except Exception as e:  # pragma: no cover - best effort
+            print(f"emergency checkpoint failed: {e}")
 
     def resume(self) -> None:
         latest = self.ckpt.latest_step()
