@@ -475,6 +475,10 @@ class InfiniteSceneGeneration:
                 rng, step_rng = jax.random.split(rng)
                 tgt = self.order[self.curr]
                 self.one_step_prediction(tgt, step_rng)
+                if self.output_dir:
+                    # streaming save, like the reference's per-step
+                    # save_to_disk (inference_pipeline.py:913-914)
+                    self.export_frame(self.output_dir, self.curr, tgt)
                 self.curr += 1
         if self.output_dir:
             self.export_frames(self.output_dir)
@@ -482,6 +486,22 @@ class InfiniteSceneGeneration:
         return self.rgb_buf, self.depth_buf
 
     # ------------------------------------------------------------- exports
+    def export_frame(self, out_dir: str, step: int, coord) -> None:
+        """Write one generated frame in the reference layout
+        (save_to_disk, inference_pipeline.py:928-959)."""
+        from PIL import Image
+
+        os.makedirs(out_dir, exist_ok=True)
+        idx = self.grid.index(*coord)
+        suffix = f"_{coord[0]:02d}_{coord[1]:02d}"
+        img = np.clip(
+            (np.asarray(self.rgb_buf[idx]) + 1) / 2 * 255.0, 0, 255
+        ).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(out_dir, f"im_{step:05d}{suffix}.png"))
+        np.save(os.path.join(out_dir, f"dm_{step:05d}{suffix}.npy"), np.asarray(self.depth_buf[idx]))
+        np.save(os.path.join(out_dir, f"R_{step:05d}{suffix}.npy"), self.grid.R[idx])
+        np.save(os.path.join(out_dir, f"t_{step:05d}{suffix}.npy"), self.grid.t[idx])
+
     def export_frames(self, out_dir: str) -> None:
         """Write the reference's file layout: im_{idx:05d}_{i:02d}_{j:02d}.png,
         dm_*.npy, R_*.npy, t_*.npy (reference save_to_disk, :928-959)."""

@@ -181,3 +181,21 @@ def test_topk_sampling_pipeline(tiny_params):
     )
     rgb_buf, _ = gen.scene_expansion(jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(rgb_buf)).all()
+
+
+def test_per_step_streaming_export(tiny_params, tmp_path):
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2), num_src=2, topk=1,
+        image_resolution=(H, W),
+    )
+    rgb, depth = make_seed()
+    gen = InfiniteSceneGeneration(
+        tiny_params, TINY, cfg, seeds=[((0, 0), rgb, depth)],
+        output_dir=str(tmp_path), intrinsics=TINY_K,
+    )
+    gen.scene_expansion(jax.random.PRNGKey(2), fused=False)
+    files = os.listdir(tmp_path)
+    # streamed per-step frames (reference save_to_disk layout) + final exports
+    assert any(f.startswith("im_00001_") for f in files)
+    assert any(f.startswith("R_00001_") for f in files)
+    assert "merged_pcds.ply" in files
