@@ -66,6 +66,7 @@ class Trainer:
         use_wandb: bool = True,
         lpips_weights: Optional[str] = None,
         max_steps: Optional[int] = None,
+        install_signals: bool = True,
     ):
         self.cfg = cfg
         self.logdir = logdir
@@ -154,7 +155,8 @@ class Trainer:
             max_to_keep=3,
             monitor=self.monitor,
         )
-        install_signal_checkpoint(self._emergency_save)
+        if install_signals:
+            install_signal_checkpoint(self._emergency_save)
         self._kmeans_key = jax.random.PRNGKey(seed + 7)
 
     # ------------------------------------------------------------------

@@ -90,7 +90,7 @@ def test_trainer_fit_and_resume(codebook_dataset_dir, tmp_path):
 
     logdir = str(tmp_path / "run")
     cfg = make_cfg(codebook_dataset_dir)
-    tr = Trainer(cfg, logdir, use_wandb=False, max_steps=3)
+    tr = Trainer(cfg, logdir, use_wandb=False, max_steps=3, install_signals=False)
     tr.fit(epochs=10)
     assert int(tr.state["step"]) >= 3
     # metrics were logged
@@ -102,7 +102,7 @@ def test_trainer_fit_and_resume(codebook_dataset_dir, tmp_path):
     assert os.path.exists(os.path.join(logdir, "config.yaml"))
     # emergency save then resume round-trips
     tr._emergency_save()
-    tr2 = Trainer(cfg, logdir, use_wandb=False, max_steps=3)
+    tr2 = Trainer(cfg, logdir, use_wandb=False, max_steps=3, install_signals=False)
     tr2.resume()
     assert int(tr2.state["step"]) == int(tr.state["step"])
     tr.metrics.close()
