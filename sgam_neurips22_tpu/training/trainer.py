@@ -2,7 +2,8 @@
 
 Rebuild of the reference train harness (train_generative_sensing_model.py:
 10-242 + the callbacks in data/utils/utils.py): config-driven model/data
-construction, LR scaling base_lr * accum * n_devices * batch_size (:196-201),
+construction, LR scaling base_lr * accum * global_batch (:196-201; the
+reference's `ngpu * bs` product IS the global batch since its bs is per-rank),
 data-parallel mesh instead of DDP (:71), step-interval + top-k checkpoints,
 emergency checkpoint on SIGUSR1/SIGTERM/crash (:204-225), periodic image
 grids + metric logs, validation each epoch, online-kmeans refresh trigger.
@@ -90,13 +91,21 @@ class Trainer:
             self.mesh = make_mesh(ndev)
 
         base = train_config_from_yaml(cfg)
-        # LR scaling (reference train_generative_sensing_model.py:196-201)
-        lr = accumulate_grad_batches * ndev * bs * base.learning_rate
+        # LR scaling (reference train_generative_sensing_model.py:196-201):
+        # lr = accum x ngpu x per_gpu_bs x base. The reference's bs is
+        # per-rank (each DDP rank gets its own DataLoader of size bs); here
+        # `bs` is the GLOBAL batch sharded over the mesh, so the device
+        # count is already inside it — scale by the global batch exactly once.
+        lr = accumulate_grad_batches * bs * base.learning_rate
         self.train_cfg = TrainConfig(
             model=base.model, loss=base.loss, learning_rate=lr,
             online_kmeans=base.online_kmeans,
+            accumulate_grad_batches=accumulate_grad_batches,
         )
-        print(f"lr = {lr:.3e} = {accumulate_grad_batches} x {ndev} x {bs} x {base.learning_rate:.3e}")
+        print(
+            f"lr = {lr:.3e} = {accumulate_grad_batches} (accum) x {bs} "
+            f"(global batch = {ndev} dev x {bs // ndev}) x {base.learning_rate:.3e}"
+        )
 
         key = jax.random.PRNGKey(seed)
         self.state = create_train_state(key, self.train_cfg)

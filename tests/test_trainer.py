@@ -122,3 +122,29 @@ def test_registry_targets_resolve():
         }
     )
     assert loss_cfg.disc_start == 5
+
+
+def test_lr_scaling_matches_reference_formula(codebook_dataset_dir, tmp_path):
+    """lr = accum x global_batch x base, independent of mesh size (the
+    reference's accum x ngpu x per_rank_bs x base with global = ngpu x bs,
+    train_generative_sensing_model.py:196-201) — and accumulate_grad_batches
+    must reach TrainConfig so optax.MultiSteps actually engages."""
+    from sgam_neurips22_tpu.training.trainer import Trainer
+
+    cfg = make_cfg(codebook_dataset_dir)
+    tr = Trainer(
+        cfg, str(tmp_path / "lr_run"), use_wandb=False,
+        accumulate_grad_batches=2, install_signals=False,
+    )
+    bs = int(cfg.data.params.batch_size)
+    base = float(cfg.model.base_learning_rate)
+    assert tr.train_cfg.learning_rate == pytest.approx(2 * bs * base)
+    assert tr.train_cfg.accumulate_grad_batches == 2
+    # a 1-device run with the same global batch gets the same LR
+    tr1 = Trainer(
+        cfg, str(tmp_path / "lr_run1"), use_wandb=False, n_devices=1,
+        accumulate_grad_batches=2, install_signals=False,
+    )
+    assert tr1.train_cfg.learning_rate == pytest.approx(tr.train_cfg.learning_rate)
+    tr.metrics.close()
+    tr1.metrics.close()

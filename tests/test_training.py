@@ -185,3 +185,26 @@ def test_data_parallel_step_on_8_device_mesh(lpips_params):
     # params stay replicated (all-reduce happened inside)
     w = new_state["params"]["encoder"]["conv_in"]["weight"]
     assert w.sharding.is_fully_replicated
+
+
+def test_grad_accumulation_applies_every_k_steps_on_mesh(lpips_params):
+    """optax.MultiSteps under the 8-device data mesh: microbatch steps leave
+    params untouched; the k-th step applies the accumulated update
+    (reference accumulate_grad_batches, train_generative_sensing_model.py:196-198)."""
+    mesh = make_mesh(8)
+    cfg = codebook_cfg(accumulate_grad_batches=2)
+    state = replicate(create_train_state(jax.random.PRNGKey(0), cfg), mesh)
+    lp = replicate(lpips_params, mesh)
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state["params"])
+    before_disc = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(), state["disc_params"]
+    )
+    batch = shard_batch(make_image_batch(b=8), mesh)
+    s1, _ = train_step(state, batch, lp, cfg)
+    # microbatch 1 of 2: gradients buffered, no parameter update yet
+    assert leaves_equal(s1["params"], before)
+    assert leaves_equal(s1["disc_params"], before_disc)
+    s2, _ = train_step(s1, batch, lp, cfg)
+    # microbatch 2 of 2: the accumulated update lands
+    assert not leaves_equal(s2["params"]["encoder"], before["encoder"])
+    assert s2["params"]["encoder"]["conv_in"]["weight"].sharding.is_fully_replicated
