@@ -24,6 +24,20 @@ import jax
 import numpy as np
 
 NORTH_STAR_FPS = 20.0
+# v5e peak: 197 TFLOP/s bf16 (f32 conv/matmul decomposes into bf16 MXU
+# passes, so bf16 peak is the honest MFU denominator)
+V5E_PEAK_FLOPS = 197e12
+
+
+def _cost_flops(compiled) -> float:
+    """Total FLOPs from XLA's compiled cost analysis (0.0 if unavailable)."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 def _enable_compilation_cache():
     """Persistent XLA compilation cache (first compile of the flagship
@@ -158,6 +172,32 @@ def main() -> None:
             return (time.perf_counter() - t0) / s
 
     else:
+        # XLA-counted FLOPs of the whole-scene program (for the MFU line);
+        # must lower from the pristine state BEFORE the warm-up run consumes
+        # the plan (build_plan walks the not-yet-visited order)
+        total_flops = 0.0
+        if fused:
+            try:
+                plan = gen.build_plan()
+                ks = jax.numpy.asarray(
+                    np.tile(gen.grid.K.astype(np.float32), (cfg.effective_num_src, 1, 1))
+                )
+                # .lower() on the jit-wrapped method does not apply the
+                # instance binding — pass the (static) self explicitly
+                if args.rgbd_integration:
+                    lowered = type(gen)._fused_unroll_tsdf.lower(
+                        gen, gen.params, gen.rgb_buf, gen.depth_buf, gen.volume,
+                        plan, ks, jax.random.PRNGKey(3),
+                    )
+                else:
+                    lowered = type(gen)._fused_unroll.lower(
+                        gen, gen.params, gen.rgb_buf, gen.depth_buf,
+                        plan, ks, jax.random.PRNGKey(3),
+                    )
+                total_flops = _cost_flops(lowered.compile())
+            except Exception as e:
+                print(f"# cost analysis unavailable: {e}", flush=True)
+
         # warm-up/compile
         gen.scene_expansion(jax.random.PRNGKey(3), fused=fused)
         jax.block_until_ready(gen.rgb_buf)
@@ -183,16 +223,16 @@ def main() -> None:
     mode = "map-requery" if args.rgbd_integration else "splat"
     if args.batch_scenes:
         mode += f", {args.batch_scenes} scenes batched"
-    print(
-        json.dumps(
-            {
-                "metric": f"generated 256^2 RGB-D frames/sec/chip ({dataset} conditional unroll, {mode}, topk=1, {cfg.effective_num_src} srcs)",
-                "value": round(fps, 3),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
-            }
-        )
-    )
+    record = {
+        "metric": f"generated 256^2 RGB-D frames/sec/chip ({dataset} conditional unroll, {mode}, topk=1, {cfg.effective_num_src} srcs)",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / NORTH_STAR_FPS, 3),
+    }
+    if not args.batch_scenes and fused and total_flops > 0:
+        record["mfu"] = round(total_flops / dt / V5E_PEAK_FLOPS, 4)
+        record["flops_per_frame"] = round(total_flops / n_frames / 1e9, 2)  # GFLOP
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

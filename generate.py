@@ -76,6 +76,10 @@ def main(argv=None) -> None:
     p.add_argument("--output_dir", default=None)
     p.add_argument("--use_rgbd_integration", action="store_true")
     p.add_argument("--topk", type=int, default=1)
+    p.add_argument("--topk_position0_compat", action="store_true",
+                   help="reproduce the reference's topk>1 position-0 sampling "
+                        "bug exactly (quantize.py:358); off = each latent "
+                        "position samples from its own top-k distribution")
     p.add_argument("--seed_index", type=int, default=0)
     p.add_argument("--rows", type=int, default=None)
     p.add_argument("--cols", type=int, default=None)
@@ -146,6 +150,7 @@ def main(argv=None) -> None:
         output_dim=(rows, cols),
         num_src=opt.num_src,
         topk=opt.topk,
+        topk_position0_compat=opt.topk_position0_compat,
         use_rgbd_integration=opt.use_rgbd_integration,
         trajectory_shape=opt.trajectory,
         pose_file=opt.pose_file,

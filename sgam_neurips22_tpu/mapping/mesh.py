@@ -60,16 +60,23 @@ def _fp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
-def extract_mesh(volume, cfg, iso: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+def extract_mesh(
+    volume, cfg, iso: float = 0.0, color_grid: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, np.ndarray]:
     """TSDFVolume -> (vertices [T, 3, 3], colors [T, 3, 3]) triangle soup.
 
     Args:
       volume: mapping.tsdf.TSDFVolume; cfg: TSDFConfig.
+      color_grid: optional [X, Y, Z, 3]; gray when absent (vertex colors can
+        be reassigned afterwards via tsdf.colorize_points on the vertices —
+        the in-loop volume carries no color by design).
     """
     lib = _load_lib()
     tsdf = np.ascontiguousarray(np.asarray(volume.tsdf), np.float32)
     weight = np.ascontiguousarray(np.asarray(volume.weight), np.float32)
-    color = np.ascontiguousarray(np.asarray(volume.color), np.float32)
+    if color_grid is None:
+        color_grid = np.full(tuple(cfg.dims) + (3,), 0.5, np.float32)
+    color = np.ascontiguousarray(color_grid, np.float32)
     x, y, z = cfg.dims
     ox, oy, oz = cfg.origin
     empty = np.zeros(1, np.float32)

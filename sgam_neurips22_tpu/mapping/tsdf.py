@@ -1,31 +1,49 @@
-"""On-device TSDF volume: integrate + raycast depth render (pure JAX).
+"""On-device scalable TSDF map: scatter-band fusion + surface-pool rendering.
 
 Replaces the reference's Open3D C++ mapping surface (SURVEY.md section 2.9):
-- `ScalableTSDFVolume.integrate(rgbd, K, T)` (inference_pipeline.py:777)
-  -> `integrate`: a dense voxel-grid scatter-free update (every voxel
-  projects into the frame; pure vectorized gather + where), jittable, so map
-  fusion runs inside the per-frame TPU step.
+- `ScalableTSDFVolume.integrate(rgbd, K, T)` (inference_pipeline.py:777):
+  the reference volume is voxel-hashed and unbounded — it only touches
+  voxels inside the truncation band around each depth sample. `integrate`
+  here does the TPU-native equivalent: per-pixel SCATTER of the band samples
+  along each ray (O(pixels x band), independent of volume size), instead of
+  projecting every voxel into the frame (O(voxels), the round-1 design that
+  could not scale past ~8M voxels).
 - mesh extraction + `OffscreenRenderer.render_to_depth_image`
-  (inference_pipeline.py:786-827) -> `render_depth`: direct TSDF raycasting
-  (zero-crossing search along each pixel ray), skipping meshing entirely.
-  Parity with the reference's *mesh-rasterized* depth is at the PSNR level,
-  not bit-exact (SURVEY.md hard part #2).
+  (inference_pipeline.py:786-827) -> `render_depth`: the default 'splat'
+  method forward-splats an incrementally-maintained SURFACE-VOXEL POOL
+  through a packed z-buffer (O(pool), again volume-size independent), with
+  sub-voxel refinement against the TSDF and median hole filling. Classic
+  two-level raycasting is kept as a fallback method. Parity with the
+  reference's *mesh-rasterized* depth is at the PSNR level, not bit-exact
+  (SURVEY.md hard part #2).
 
-The volume is a fixed dense grid sized to the scene bounds. At CLEVR scale
-(voxel 0.05, SURVEY section 6) a 256x256x128 grid covers 12.8m x 12.8m x
-6.4m in ~100 MB HBM f32 (tsdf+weight+rgb). GoogleEarth (voxel 0.01, extent
-~3) similarly fits. Camera convention matches Open3D: T is world->camera
-(extrinsic); depth images are z-depth.
+Storage is a dense [X, Y, Z] float32 grid of SIGNED TSDF SUMS (Curless-
+Levoy averaging as running sums; every sample adds weight 1, so
+sign(sum) == sign(mean) and zero crossings of the sum ARE the fused
+surface). Measured on v5e (NOTES.md round 2): a scalar f32 scatter-add runs
+~9 ns/element, while a [N, 2]-row scatter hits an ~80 ns/row slow path —
+storing (sum, count) pairs would cost 10x. The observation count is not
+stored at all: 'observed' == sum != 0, and the surface set lives in `flags`
+(uint8, also the pool dedup bitmap). Volume bounds come from `auto_config`
+(trajectory ∪ viewing-frustum hull, memory-capped); fusion telemetry
+(`vol.stats`) counts valid vs fused samples so truncation is loud, never
+silent.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from flax import struct
 
 from sgam_neurips22_tpu.geometry.camera import pixel_grid
+
+# packed z-buffer key layout: 12 bits quantized depth + 20 bits pool index
+_POOL_IDX_BITS = 20
+MAX_POOL_CAPACITY = 1 << _POOL_IDX_BITS
 
 
 @dataclass(frozen=True)
@@ -35,31 +53,153 @@ class TSDFConfig:
     sdf_trunc: float  # truncation distance (10*voxel CLEVR / 0.03 GE)
     origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # world min corner
     depth_trunc: float = 20.0  # ignore depth beyond (reference :776 depth_trunc=20)
+    band_voxels: Optional[int] = None  # band half-width in voxels (None = auto)
+    pool_capacity: int = 1 << 19  # surface-voxel pool slots (<= 2^20)
+
+    def __post_init__(self):
+        if self.pool_capacity > MAX_POOL_CAPACITY:
+            raise ValueError(
+                f"pool_capacity {self.pool_capacity} exceeds packed-key limit "
+                f"{MAX_POOL_CAPACITY}"
+            )
+        if int(np.prod(self.dims)) >= 2**31:
+            raise ValueError(f"dims {self.dims} overflow int32 linear indexing")
+
+    @property
+    def band(self) -> int:
+        """Half-width of the fused band, in voxels (capped: band samples are
+        the integrate cost, O(pixels x 2*band) scatter-adds per frame)."""
+        if self.band_voxels is not None:
+            return self.band_voxels
+        return int(np.clip(round(self.sdf_trunc / self.voxel_size), 1, 8))
+
+    @property
+    def trunc(self) -> float:
+        """Effective truncation distance = fused band extent."""
+        return self.band * self.voxel_size
 
 
-class TSDFVolume(NamedTuple):
-    tsdf: jnp.ndarray  # [X, Y, Z] f32 in [-1, 1]
-    weight: jnp.ndarray  # [X, Y, Z] f32
-    color: jnp.ndarray  # [X, Y, Z, 3] f32
+@struct.dataclass
+class TSDFVolume:
+    grid: jnp.ndarray  # [X, Y, Z] f32 signed tsdf-contribution sums
+    flags: jnp.ndarray  # [X*Y*Z] uint8: 1 if the voxel is in the surface pool
+    pool_ids: jnp.ndarray  # [P] int32 linear voxel ids (surface voxels)
+    pool_count: jnp.ndarray  # [] int32
+    stats: jnp.ndarray  # [3] f32: (valid depth samples, fused samples, pool drops)
+
+    @property
+    def tsdf(self) -> jnp.ndarray:
+        """Mean-sign TSDF in [-1, 1] (sums clipped; sign matches the mean —
+        unobserved voxels read 0, gate on `weight`)."""
+        return jnp.clip(self.grid, -1.0, 1.0)
+
+    @property
+    def weight(self) -> jnp.ndarray:
+        """Observedness indicator [X, Y, Z] (any band sample touched)."""
+        return (self.grid != 0.0).astype(jnp.float32)
 
 
 def create_volume(cfg: TSDFConfig) -> TSDFVolume:
     x, y, z = cfg.dims
     return TSDFVolume(
-        tsdf=jnp.ones((x, y, z), jnp.float32),
-        weight=jnp.zeros((x, y, z), jnp.float32),
-        color=jnp.zeros((x, y, z, 3), jnp.float32),
+        grid=jnp.zeros((x, y, z), jnp.float32),
+        flags=jnp.zeros(x * y * z, jnp.uint8),
+        pool_ids=jnp.zeros(cfg.pool_capacity, jnp.int32),
+        pool_count=jnp.zeros((), jnp.int32),
+        stats=jnp.zeros(3, jnp.float32),
     )
 
 
-def _voxel_centers(cfg: TSDFConfig) -> jnp.ndarray:
-    """[X, Y, Z, 3] world coordinates of voxel centers."""
-    xs = jnp.arange(cfg.dims[0], dtype=jnp.float32)
-    ys = jnp.arange(cfg.dims[1], dtype=jnp.float32)
-    zs = jnp.arange(cfg.dims[2], dtype=jnp.float32)
-    gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
-    grid = jnp.stack([gx, gy, gz], axis=-1)
-    return (grid + 0.5) * cfg.voxel_size + jnp.asarray(cfg.origin)
+def auto_config(
+    c2ws: np.ndarray,
+    intrinsics: np.ndarray,
+    image_size: Tuple[int, int],
+    depth_range: Tuple[float, float],
+    voxel_size: float,
+    sdf_trunc: float,
+    mem_cap_bytes: float = 6e9,
+    pool_capacity: Optional[int] = None,
+    band_voxels: Optional[int] = None,
+    verbose: bool = True,
+) -> TSDFConfig:
+    """Size/place the volume from the trajectory ∪ viewing-frustum hull.
+
+    The reference's `ScalableTSDFVolume` is unbounded (voxel-hashed,
+    inference_pipeline.py:122-131); the TPU-native equivalent is a dense
+    grid guaranteed to CONTAIN everything the cameras can observe: the
+    convex hull of every camera's frustum slab between 0.8*near_depth and
+    1.2*far_depth (generated depth decodes into [near, far] up to model
+    error). If that exceeds `mem_cap_bytes`, the voxel size is coarsened
+    (loudly) rather than silently cropping the scene.
+
+    Args:
+      c2ws: [G, 4, 4] camera-to-world transforms (OpenCV convention).
+      intrinsics: [3, 3].
+      image_size: (H, W).
+      depth_range: (lo, hi) metric z-depth the dataset codec can produce.
+      pool_capacity: surface-pool slots; None = 4 x the largest volume face
+        (one voxel per surface crossing), clamped to [2^16, 2^20].
+    """
+    h, w = image_size
+    lo, hi = depth_range
+    near = max(0.8 * lo - sdf_trunc, 1e-3)
+    far = 1.2 * hi + sdf_trunc
+    corners = np.array(
+        [[0, 0, 1], [w, 0, 1], [0, h, 1], [w, h, 1], [w / 2, h / 2, 1]], np.float64
+    )
+    rays = corners @ np.linalg.inv(np.asarray(intrinsics, np.float64)).T  # unit z
+    pts = []
+    for c2w in np.asarray(c2ws, np.float64):
+        for d in (near, far):
+            cam_pts = rays * d  # z-depth parameterization
+            world = cam_pts @ c2w[:3, :3].T + c2w[:3, 3]
+            pts.append(world)
+    pts = np.concatenate(pts, axis=0)
+    lo_b = pts.min(axis=0) - 2 * voxel_size
+    hi_b = pts.max(axis=0) + 2 * voxel_size
+
+    vox = float(voxel_size)
+    while True:
+        dims = np.maximum(np.ceil((hi_b - lo_b) / vox).astype(int), 4)
+        n_vox = int(np.prod(dims))
+        # grid f32 + flags u8 + transient claim grid i32 (integrate dedup)
+        mem = n_vox * (4 + 1 + 4)
+        if mem <= mem_cap_bytes and n_vox < 2**31:
+            break
+        vox *= 2 ** (1.0 / 3.0)
+    if vox != voxel_size and verbose:
+        n_orig = float(np.prod(np.ceil((hi_b - lo_b) / voxel_size)))
+        print(
+            f"WARNING: TSDF volume at voxel {voxel_size} would need "
+            f"{n_orig:.3g} voxels; coarsened to voxel {vox:.4f} to fit "
+            f"{mem_cap_bytes / 1e9:.1f} GB"
+        )
+    if pool_capacity is None:
+        faces = (
+            dims[0] * dims[1], dims[0] * dims[2], dims[1] * dims[2],
+        )
+        pool_capacity = int(np.clip(4 * max(faces), 1 << 16, MAX_POOL_CAPACITY))
+    return TSDFConfig(
+        dims=tuple(int(d) for d in dims),
+        voxel_size=vox,
+        sdf_trunc=sdf_trunc if vox == voxel_size else sdf_trunc * vox / voxel_size,
+        origin=tuple(float(v) for v in lo_b),
+        band_voxels=band_voxels,
+        pool_capacity=pool_capacity,
+    )
+
+
+def _camera_rays(intrinsics: jnp.ndarray, extrinsic: jnp.ndarray, h: int, w: int):
+    """(camera center [3], world ray dirs [H, W, 3] with unit z in cam frame):
+    points along a ray at parameter t have CAMERA Z-DEPTH exactly t."""
+    pix = pixel_grid(h, w)  # [H, W, 3] (u, v, 1)
+    k_inv = jnp.linalg.inv(intrinsics)
+    dirs_cam = jnp.einsum("ij,hwj->hwi", k_inv, pix)
+    r = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    cam_center = -r.T @ t
+    dirs_world = jnp.einsum("ji,hwj->hwi", r, dirs_cam)
+    return cam_center, dirs_world
 
 
 def integrate(
@@ -70,63 +210,121 @@ def integrate(
     intrinsics: jnp.ndarray,
     extrinsic: jnp.ndarray,
 ) -> TSDFVolume:
-    """Fuse one RGB-D frame into the volume (weighted running average, the
-    standard Curless-Levoy update Open3D implements).
+    """Fuse one RGB-D frame (Curless-Levoy running average, as running sums).
+
+    For every valid pixel, 2*band samples along the ray at voxel spacing
+    centered on the measured surface scatter-add their (constant per band
+    slot) tsdf contribution into the grid — the same truncation-band-only
+    update the reference's scalable volume performs, O(H*W*band) regardless
+    of volume size, as ONE scalar f32 scatter (the measured fast path; see
+    module docstring). The two samples straddling the surface also enter the
+    surface-voxel pool, deduplicated exactly (in-frame via a transient claim
+    grid, across frames via `flags`) for O(pool) depth rendering.
 
     Args:
       depth: [H, W] z-depth (0 = invalid).
-      rgb: [H, W, 3] color (any range; stored as-is).
+      rgb: [H, W, 3] color — unused in the hot loop (color is reconstructed
+        at export time from the frame buffers; see `colorize_points`).
       intrinsics: [3, 3]; extrinsic: [4, 4] world->camera.
     """
+    del rgb  # color handled at export (keeps the in-loop state 5 bytes/voxel)
     h, w = depth.shape
-    centers = _voxel_centers(cfg)  # [X, Y, Z, 3]
-    r = extrinsic[:3, :3]
-    t = extrinsic[:3, 3]
-    cam = jnp.einsum("ij,xyzj->xyzi", r, centers) + t
-    z = cam[..., 2]
-    u = intrinsics[0, 0] * cam[..., 0] / z + intrinsics[0, 2]
-    v = intrinsics[1, 1] * cam[..., 1] / z + intrinsics[1, 2]
-    ui = jnp.round(u).astype(jnp.int32)
-    vi = jnp.round(v).astype(jnp.int32)
-    in_view = (z > 0) & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
-    uis = jnp.clip(ui, 0, w - 1)
-    vis = jnp.clip(vi, 0, h - 1)
-    d = depth[vis, uis]
-    valid_d = (d > 0) & (d < cfg.depth_trunc)
-    sdf = d - z
-    update = in_view & valid_d & (sdf > -cfg.sdf_trunc)
-    tsdf_new = jnp.clip(sdf / cfg.sdf_trunc, -1.0, 1.0)
+    band = cfg.band
+    k2 = 2 * band
+    dims = cfg.dims
+    n_vox = dims[0] * dims[1] * dims[2]
+    cam_center, dirs_world = _camera_rays(intrinsics, extrinsic, h, w)
 
-    w_old = vol.weight
-    w_new = jnp.where(update, w_old + 1.0, w_old)
-    denom = jnp.maximum(w_new, 1.0)
-    tsdf = jnp.where(
-        update, (vol.tsdf * w_old + tsdf_new) / denom, vol.tsdf
+    valid = (depth > 0) & (depth < cfg.depth_trunc)
+    # sample offsets in z: +-(0.5, 1.5, ..., band-0.5) voxels around the surface
+    offsets = (jnp.arange(k2, dtype=jnp.float32) + 0.5 - band) * cfg.voxel_size
+    zs = depth[..., None] + offsets  # [H, W, K2]
+    pts = cam_center + dirs_world[..., None, :] * zs[..., None]  # [H, W, K2, 3]
+    g = jnp.floor((pts - jnp.asarray(cfg.origin)) / cfg.voxel_size).astype(jnp.int32)
+    inb = (
+        (g[..., 0] >= 0) & (g[..., 0] < dims[0])
+        & (g[..., 1] >= 0) & (g[..., 1] < dims[1])
+        & (g[..., 2] >= 0) & (g[..., 2] < dims[2])
     )
-    c = rgb[vis, uis]
-    color = jnp.where(
-        update[..., None], (vol.color * w_old[..., None] + c) / denom[..., None], vol.color
+    ok = valid[..., None] & inb & (zs > 0)
+    lin = (g[..., 0] * dims[1] + g[..., 1]) * dims[2] + g[..., 2]
+    lin = jnp.where(ok, lin, 0)
+    # sdf at a sample z along the ray is (measured_depth - z) = -offset:
+    # constant per band slot.
+    contrib_t = jnp.clip(-offsets / cfg.trunc, -1.0, 1.0)
+    # masked samples contribute exactly 0.0 at index 0 — a value no-op, so no
+    # scatter mode="drop" bookkeeping is needed.
+    vals = contrib_t * ok.astype(jnp.float32)  # [H, W, K2]
+    grid = (
+        vol.grid.reshape(-1).at[lin.reshape(-1)].add(vals.reshape(-1))
+        .reshape(vol.grid.shape)
     )
-    return TSDFVolume(tsdf=tsdf, weight=w_new, color=color)
+
+    # --- telemetry: did the valid samples land inside the volume?
+    center_ok = ok[..., band - 1] | ok[..., band]
+    n_valid = jnp.sum(valid.astype(jnp.float32))
+    n_fused = jnp.sum((valid & center_ok).astype(jnp.float32))
+
+    # --- surface pool: ONE voxel per surface crossing (the sample just in
+    # front of the measured depth; the splat renderer's refinement step
+    # recovers the sub-voxel crossing from the band field around it).
+    # Exact in-frame dedup WITHOUT a sort (1M-element sort measured ~28 ms on
+    # v5e): scatter-min each candidate's batch position into a transient
+    # claim grid; a candidate is the voxel's winner iff it reads itself back.
+    cand = lin[..., band - 1].reshape(-1)  # [H*W]
+    cand_ok = ok[..., band - 1].reshape(-1)
+    imax = jnp.iinfo(jnp.int32).max
+    pos = jnp.arange(cand.shape[0], dtype=jnp.int32)
+    claim = jnp.full((n_vox,), imax, jnp.int32)
+    claim = claim.at[cand].min(jnp.where(cand_ok, pos, imax))
+    first = cand_ok & (claim[cand] == pos)
+    new = first & (vol.flags[cand] == 0)
+    slots = vol.pool_count + jnp.cumsum(new.astype(jnp.int32)) - 1
+    fits = new & (slots < cfg.pool_capacity)
+    pool_ids = vol.pool_ids.at[jnp.where(fits, slots, cfg.pool_capacity)].set(
+        cand, mode="drop"
+    )
+    flags = vol.flags.at[cand].max(fits.astype(jnp.uint8))
+    n_added = jnp.sum(fits.astype(jnp.int32))
+    n_dropped = jnp.sum((new & ~fits).astype(jnp.float32))
+
+    return TSDFVolume(
+        grid=grid,
+        flags=flags,
+        pool_ids=pool_ids,
+        pool_count=vol.pool_count + n_added,
+        stats=vol.stats + jnp.stack([n_valid, n_fused, n_dropped]),
+    )
 
 
-def _trilinear(
-    grid: jnp.ndarray, weight: jnp.ndarray, pts: jnp.ndarray, cfg: TSDFConfig
-):
-    """Trilinear TSDF sample at world points.
+def fusion_fraction(vol: TSDFVolume) -> Tuple[float, float, float]:
+    """(fused/valid fraction, valid samples, pool drops) — host helper for
+    the silent-truncation telemetry."""
+    s = np.asarray(vol.stats)
+    frac = float(s[1] / s[0]) if s[0] > 0 else 1.0
+    return frac, float(s[0]), float(s[2])
 
-    Args:
-      pts: [..., 3] world coords.
-    Returns:
-      (tsdf values [...], observed mask [...]): a point counts as observed
-      only if all 8 corners carry weight.
-    """
+
+# --------------------------------------------------------------------------
+# rendering
+# --------------------------------------------------------------------------
+def _sample_grid(vol: TSDFVolume, cfg: TSDFConfig, pts: jnp.ndarray, interp: str):
+    """Sample (tsdf sum, observed) at world points [..., 3]. One scalar
+    gather per sample point on the 'nearest' fast path."""
+    dims = jnp.asarray(cfg.dims)
+    if interp == "nearest":
+        g = jnp.round(
+            (pts - jnp.asarray(cfg.origin)) / cfg.voxel_size - 0.5
+        ).astype(jnp.int32)
+        inb = jnp.all((g >= 0) & (g < dims), axis=-1)
+        gc = jnp.clip(g, 0, dims - 1)
+        v = vol.grid[gc[..., 0], gc[..., 1], gc[..., 2]]
+        return v, inb & (v != 0.0)
+    # trilinear over the sum field
     g = (pts - jnp.asarray(cfg.origin)) / cfg.voxel_size - 0.5
     g0 = jnp.floor(g)
     frac = g - g0
     g0 = g0.astype(jnp.int32)
-    dims = jnp.asarray(cfg.dims)
-
     vals = 0.0
     obs = jnp.ones(pts.shape[:-1], bool)
     for dx in (0, 1):
@@ -135,35 +333,107 @@ def _trilinear(
                 idx = g0 + jnp.asarray([dx, dy, dz])
                 inb = jnp.all((idx >= 0) & (idx < dims), axis=-1)
                 ic = jnp.clip(idx, 0, dims - 1)
-                tv = grid[ic[..., 0], ic[..., 1], ic[..., 2]]
-                wv = weight[ic[..., 0], ic[..., 1], ic[..., 2]]
+                v = vol.grid[ic[..., 0], ic[..., 1], ic[..., 2]]
                 wgt = (
                     jnp.where(dx, frac[..., 0], 1 - frac[..., 0])
                     * jnp.where(dy, frac[..., 1], 1 - frac[..., 1])
                     * jnp.where(dz, frac[..., 2], 1 - frac[..., 2])
                 )
-                vals = vals + wgt * tv
-                obs = obs & ((wv > 0) | ~inb) & inb
+                vals = vals + wgt * v
+                obs = obs & inb & (v != 0.0)
     return vals, obs
 
 
-def _nearest(
-    grid: jnp.ndarray, weight: jnp.ndarray, pts: jnp.ndarray, cfg: TSDFConfig
-):
-    """Nearest-voxel TSDF sample — 1 gather per point instead of trilinear's
-    8. TPU gathers run ~7 ns/element on the scalar path (NOTES.md), so this
-    is the fast path for in-loop raycasting; trilinear stays available for
-    offline quality."""
-    g = jnp.round((pts - jnp.asarray(cfg.origin)) / cfg.voxel_size - 0.5).astype(jnp.int32)
-    dims = jnp.asarray(cfg.dims)
-    inb = jnp.all((g >= 0) & (g < dims), axis=-1)
-    gc = jnp.clip(g, 0, dims - 1)
-    vals = grid[gc[..., 0], gc[..., 1], gc[..., 2]]
-    wv = weight[gc[..., 0], gc[..., 1], gc[..., 2]]
-    return vals, inb & (wv > 0)
+def _render_depth_splat(
+    vol: TSDFVolume,
+    cfg: TSDFConfig,
+    intrinsics: jnp.ndarray,
+    extrinsic: jnp.ndarray,
+    image_size: Tuple[int, int],
+    near: float,
+    far: float,
+    refine: bool = True,
+) -> jnp.ndarray:
+    """Target-view z-depth by splatting the surface-voxel pool through one
+    packed scatter-min z-buffer (12-bit quantized z + 20-bit pool index in a
+    uint32 key — same trick as geometry/splat.py, which measured ~3x faster
+    than separate min+gather+min passes), then sub-voxel refinement against
+    the TSDF along each hit ray and 3x3 median hole filling."""
+    h, w = image_size
+    p = cfg.pool_capacity
+    dims = cfg.dims
+    ids = vol.pool_ids
+    active = jnp.arange(p, dtype=jnp.int32) < vol.pool_count
+    vz = ids % dims[2]
+    vy = (ids // dims[2]) % dims[1]
+    vx = ids // (dims[1] * dims[2])
+    centers = (
+        jnp.stack([vx, vy, vz], axis=-1).astype(jnp.float32) + 0.5
+    ) * cfg.voxel_size + jnp.asarray(cfg.origin)
+    r = extrinsic[:3, :3]
+    t = extrinsic[:3, 3]
+    cam = centers @ r.T + t
+    z = cam[..., 2]
+    u = intrinsics[0, 0] * cam[..., 0] / jnp.maximum(z, 1e-6) + intrinsics[0, 2]
+    v = intrinsics[1, 1] * cam[..., 1] / jnp.maximum(z, 1e-6) + intrinsics[1, 2]
+    ui = jnp.floor(u + 0.5).astype(jnp.int32)
+    vi = jnp.floor(v + 0.5).astype(jnp.int32)
+    valid = (
+        active
+        & (z > max(near, 1e-3))
+        & (z < far)
+        & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+    )
+    pix = jnp.where(valid, vi * w + ui, 0)
+    zq = jnp.clip((z - near) / (far - near) * 4095.0, 0, 4095).astype(jnp.uint32)
+    key = (zq << _POOL_IDX_BITS) | jnp.arange(p, dtype=jnp.uint32)
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    key = jnp.where(valid, key, sentinel)
+    win = jnp.full((h * w,), sentinel, jnp.uint32).at[pix].min(key, mode="drop")
+    has = win != sentinel
+    idx = jnp.where(has, win & (MAX_POOL_CAPACITY - 1), 0).astype(jnp.int32)
+    depth = jnp.where(has, z[idx], 0.0).reshape(h, w)
+
+    if refine:
+        # sub-voxel zero-crossing around the splatted depth: the pool voxel
+        # sits ~0.5 voxel in FRONT of the surface, so 3 samples at
+        # {0, +0.5, +1} voxels bracket the crossing (2 candidate intervals)
+        cam_center, dirs_world = _camera_rays(intrinsics, extrinsic, h, w)
+        dt = 0.5 * cfg.voxel_size
+        offs = jnp.arange(3, dtype=jnp.float32) * dt
+        ts = depth[..., None] + offs
+        pts = cam_center + dirs_world[:, :, None, :] * ts[..., None]
+        vals, obs = _sample_grid(vol, cfg, pts, "nearest")
+        prev_v, next_v = vals[..., :-1], vals[..., 1:]
+        good = (prev_v > 0) & (next_v < 0) & obs[..., :-1] & obs[..., 1:]
+        first = jnp.argmax(good, axis=-1)
+        hit = jnp.any(good, axis=-1)
+        pv = jnp.take_along_axis(prev_v, first[..., None], axis=-1)[..., 0]
+        nv = jnp.take_along_axis(next_v, first[..., None], axis=-1)[..., 0]
+        frac = pv / jnp.maximum(pv - nv, 1e-12)
+        t_ref = depth + (first.astype(jnp.float32) + frac) * dt
+        depth = jnp.where(hit & (depth > 0), t_ref, depth)
+
+    # hole filling: one pool point per surface crossing leaves coverage gaps
+    # up to ~2 px when the voxel footprint is below a pixel (the reference
+    # rasterizes a continuous mesh instead). A 3x3 median can only fill
+    # holes with >=5 covered neighbors, so fill with the MIN nonzero
+    # neighbor instead (z-buffer-consistent: the nearest surface wins),
+    # two passes for 2-px gaps.
+    big = jnp.float32(3.4e38)
+    for _ in range(2):
+        d = jnp.where(depth == 0.0, big, depth)
+        p = jnp.pad(d, 1, constant_values=big)
+        neigh = jnp.stack(
+            [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)],
+            axis=-1,
+        ).min(axis=-1)
+        fill = jnp.where(neigh < big, neigh, 0.0)
+        depth = jnp.where(depth == 0.0, fill, depth)
+    return depth
 
 
-def render_depth(
+def _render_depth_raycast(
     vol: TSDFVolume,
     cfg: TSDFConfig,
     intrinsics: jnp.ndarray,
@@ -172,39 +442,22 @@ def render_depth(
     near: float,
     far: float,
     n_samples: int = 192,
-    interp: str = "trilinear",
+    interp: str = "nearest",
 ) -> jnp.ndarray:
-    """Raycast the TSDF to a target-view z-depth image [H, W].
-
-    Rays are parameterized by z-depth (direction K^-1 [u,v,1] has unit z in
-    camera frame), so the returned crossing parameter IS the z-depth —
-    matching `render_to_depth_image(z_in_view_space=True)`
-    (reference inference_pipeline.py:825). Unobserved/missed rays return 0
-    (reference maps Inf->0 at :827).
-    """
+    """Classic two-level coarse->fine zero-crossing raycast (fallback /
+    quality path; O(rays * samples))."""
     h, w = image_size
-    pix = pixel_grid(h, w)  # [H, W, 3] (u, v, 1)
-    k_inv = jnp.linalg.inv(intrinsics)
-    dirs_cam = jnp.einsum("ij,hwj->hwi", k_inv, pix)  # z = 1
-    r = extrinsic[:3, :3]
-    t = extrinsic[:3, 3]
-    cam_center = -r.T @ t
-    dirs_world = jnp.einsum("ji,hwj->hwi", r, dirs_cam)
-
-    sample = _trilinear if interp == "trilinear" else _nearest
+    cam_center, dirs_world = _camera_rays(intrinsics, extrinsic, h, w)
 
     def find_crossing(t_starts, dt, s):
-        """Sample s points per ray at t_starts + k*dt; return (t_lo of the
-        first observed +->- crossing, prev val, next val, hit)."""
         ts = t_starts[..., None] + dt * jnp.arange(s, dtype=jnp.float32)
         pts = (
             cam_center[None, None, None, :]
             + dirs_world[:, :, None, :] * ts[..., None]
-        )  # [H, W, s, 3]
-        vals, obs = sample(vol.tsdf, vol.weight, pts, cfg)
+        )
+        vals, obs = _sample_grid(vol, cfg, pts, interp)
         prev_v, next_v = vals[..., :-1], vals[..., 1:]
-        prev_o, next_o = obs[..., :-1], obs[..., 1:]
-        crossing = (prev_v > 0) & (next_v <= 0) & prev_o & next_o
+        crossing = (prev_v > 0) & (next_v < 0) & obs[..., :-1] & obs[..., 1:]
         first = jnp.argmax(crossing, axis=-1)
         hit = jnp.any(crossing, axis=-1)
         pv = jnp.take_along_axis(prev_v, first[..., None], axis=-1)[..., 0]
@@ -212,11 +465,6 @@ def render_depth(
         t_lo = t_starts + first * dt
         return t_lo, pv, nv, hit
 
-    # Two-level search: a coarse pass brackets the surface, a fine pass
-    # (n_fine samples inside one coarse step) localizes it. Gathers dominate
-    # raycast cost on TPU (~7 ns/element, NOTES.md), so this needs
-    # n_coarse + n_fine samples instead of n_samples for the same effective
-    # resolution of n_coarse * n_fine.
     n_coarse = max(n_samples // 4, 2)
     n_fine = 8
     dt_coarse = (far - near) / (n_coarse - 1)
@@ -230,19 +478,90 @@ def render_depth(
     return jnp.where(hit, depth, 0.0)
 
 
-def extract_points(
-    vol: TSDFVolume, cfg: TSDFConfig, max_abs_tsdf: float = 0.2
-):
-    """Surface point cloud from near-zero-TSDF voxels (the reference's
-    `volume.extract_point_cloud()` -> .ply, inference_pipeline.py:447).
-    Host-side (returns numpy); for export only."""
-    import numpy as np
+def render_depth(
+    vol: TSDFVolume,
+    cfg: TSDFConfig,
+    intrinsics: jnp.ndarray,
+    extrinsic: jnp.ndarray,
+    image_size: Tuple[int, int],
+    near: float,
+    far: float,
+    n_samples: int = 192,
+    method: str = "splat",
+    interp: str = "nearest",
+    refine: bool = True,
+) -> jnp.ndarray:
+    """Render the map's z-depth at a target pose [H, W] (0 = no surface).
 
-    tsdf = np.asarray(vol.tsdf)
-    weight = np.asarray(vol.weight)
-    color = np.asarray(vol.color)
-    mask = (weight > 0) & (np.abs(tsdf) < max_abs_tsdf)
+    Replaces the reference's mesh + OffscreenRenderer re-query
+    (`render_to_depth_image(z_in_view_space=True)`, inference_pipeline.py:825;
+    Inf->0 mapping at :827). method='splat' is the O(pool) fast path;
+    method='raycast' marches rays through the grid ('interp' selects
+    nearest/trilinear sampling)."""
+    if method == "splat":
+        return _render_depth_splat(
+            vol, cfg, intrinsics, extrinsic, image_size, near, far, refine=refine
+        )
+    return _render_depth_raycast(
+        vol, cfg, intrinsics, extrinsic, image_size, near, far,
+        n_samples=n_samples, interp=interp,
+    )
+
+
+# --------------------------------------------------------------------------
+# export (host-side)
+# --------------------------------------------------------------------------
+def extract_points(vol: TSDFVolume, cfg: TSDFConfig, max_abs_tsdf: float = 1.0):
+    """Surface point cloud (the reference's `volume.extract_point_cloud()`
+    -> .ply, inference_pipeline.py:447): the flagged surface voxels (the
+    band samples straddling a measured depth), optionally filtered to
+    |clipped sum| < max_abs_tsdf. Host-side; colors via `colorize_points`
+    (gray if never colorized)."""
+    flags = np.asarray(vol.flags).reshape(cfg.dims) != 0
+    g = np.asarray(vol.grid)
+    mask = flags & (np.abs(np.clip(g, -1.0, 1.0)) < max_abs_tsdf + 1e-9)
     idx = np.argwhere(mask)
     pts = (idx + 0.5) * cfg.voxel_size + np.asarray(cfg.origin)
-    cols = color[mask]
-    return pts.astype(np.float32), cols.astype(np.float32)
+    cols = np.full((len(pts), 3), 0.5, np.float32)
+    return pts.astype(np.float32), cols
+
+
+def colorize_points(
+    pts: np.ndarray,
+    rgbs: np.ndarray,
+    depths: np.ndarray,
+    intrinsics: np.ndarray,
+    w2cs: np.ndarray,
+    tol: float,
+) -> np.ndarray:
+    """Assign colors to surface points by reprojection into the source
+    frames (first frame whose depth agrees within `tol` wins). The in-loop
+    TSDF state intentionally carries no color (scalar scatter is the only
+    fast path; see module docstring). The reference gets colors from
+    `volume.integrate`'s color average — export-only parity, reconstructed
+    here from the frame buffers.
+
+    Args:
+      rgbs: [N, H, W, 3] in [-1, 1]; depths: [N, H, W]; w2cs: [N, 4, 4].
+    """
+    n, h, w = depths.shape[:3]
+    cols = np.full((len(pts), 3), 0.5, np.float32)
+    done = np.zeros(len(pts), bool)
+    k = np.asarray(intrinsics, np.float64)
+    for i in range(n):
+        if done.all():
+            break
+        t = np.asarray(w2cs[i], np.float64)
+        cam = pts @ t[:3, :3].T + t[:3, 3]
+        z = cam[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = np.floor(k[0, 0] * cam[:, 0] / z + k[0, 2] + 0.5).astype(np.int64)
+            v = np.floor(k[1, 1] * cam[:, 1] / z + k[1, 2] + 0.5).astype(np.int64)
+        ok = (z > 1e-3) & (u >= 0) & (u < w) & (v >= 0) & (v < h) & ~done
+        uu = np.clip(u, 0, w - 1)
+        vv = np.clip(v, 0, h - 1)
+        d = depths[i][vv, uu]
+        ok &= np.abs(d - z) < tol
+        cols[ok] = (rgbs[i][vv[ok], uu[ok]] + 1.0) / 2.0
+        done |= ok
+    return cols

@@ -148,12 +148,15 @@ def forward(
     rng: Optional[jax.Array] = None,
     sample_number: int = 1,
     encoding_indices: Optional[jnp.ndarray] = None,
+    topk_position0_bug: bool = False,
 ) -> ForwardResult:
     """Full encode -> (quantize | sample) -> decode (reference model.py:141-167).
 
     With ``topk`` set, decodes each of ``sample_number`` sampled latents
     (vmapped rather than the reference's Python loop, model.py:157-159) and
     returns xrec with a leading sample axis after batch: [B, S, H, W, 4].
+    ``topk_position0_bug`` opts into the reference's position-0 sampling bug
+    for capability-exact topk>1 unrolls (see quantize.quantize_topk).
     """
     pre_quant = encode_prequant(params, cfg, x, extrapolation_mask)
     codebook = params["quantize"]["embedding"]
@@ -172,7 +175,8 @@ def forward(
     if rng is None:
         raise ValueError("topk sampling requires an rng key")
     s: TopKSampleResult = quantize_topk(
-        codebook, pre_quant, rng, topk, sample_number, extrapolation_mask
+        codebook, pre_quant, rng, topk, sample_number, extrapolation_mask,
+        position0_bug=topk_position0_bug,
     )
     xrec = jax.vmap(lambda zq: decode(params, cfg, zq), in_axes=1, out_axes=1)(s.z_q)
     return ForwardResult(xrec, jnp.zeros((), pre_quant.dtype), s.indices, pre_quant, s.z_q)

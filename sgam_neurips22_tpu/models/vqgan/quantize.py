@@ -107,6 +107,7 @@ def quantize_topk(
     sample_number: int = 1,
     extrapolation_mask: jnp.ndarray | None = None,
     temperature: float = 1.0,
+    position0_bug: bool = False,
 ) -> TopKSampleResult:
     """Top-k stochastic codeword sampling (reference quantize.py:344-381).
 
@@ -120,6 +121,13 @@ def quantize_topk(
       z: [B, h, w, D] pre-quantized latents.
       extrapolation_mask: [B, H, W] or [B, H, W, 1] bool at image resolution
         (True = unseen region, free to sample).
+      position0_bug: opt-in bug-compatible mode reproducing the reference's
+        `min_encoding_dist[0]` indexing (quantize.py:358): every position
+        draws its top-k SLOT from position 0's softmax distribution (but
+        still maps it through its own top-k codeword ids), and the
+        temperature argument is ignored (the reference hardcodes
+        temperature=1 at :353 and never uses its `temp` parameter). Default
+        False = each position samples from its own distribution.
     """
     b, h, w, d = z.shape
     dist = codeword_distances(z.reshape(-1, d), codebook)  # [P, K]
@@ -134,7 +142,12 @@ def quantize_topk(
         z_q = jnp.moveaxis(codebook[sampled].astype(z.dtype), 3, 1)
         return TopKSampleResult(z_q=z_q, indices=jnp.moveaxis(sampled, 3, 1).astype(jnp.int32))
     neg_topk, top_idx = jax.lax.top_k(-dist, topk)  # [P, k] nearest first
-    logits = neg_topk / temperature
+    if position0_bug:
+        # reference :353,:358: temperature fixed at 1; every position's slot
+        # drawn (independently) from position 0's distribution
+        logits = jnp.broadcast_to(neg_topk[:1], neg_topk.shape)
+    else:
+        logits = neg_topk / temperature
     draws = jax.random.categorical(
         rng, logits[:, None, :], axis=-1, shape=(b * h * w, sample_number)
     )  # [P, S] positions in 0..k-1

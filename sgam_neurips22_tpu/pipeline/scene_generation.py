@@ -42,8 +42,11 @@ from sgam_neurips22_tpu.mapping.pointcloud import (
 from sgam_neurips22_tpu.mapping.tsdf import (
     TSDFConfig,
     TSDFVolume,
+    auto_config,
+    colorize_points,
     create_volume,
     extract_points,
+    fusion_fraction,
     integrate,
     render_depth,
 )
@@ -74,16 +77,26 @@ class SceneGenConfig:
     output_dim: Tuple[int, int] = (20, 20)  # reference :43,:48
     num_src: Optional[int] = None
     topk: int = 1
+    # opt-in reproduction of the reference's topk>1 position-0 sampling bug
+    # (quantize.py:358; see models/vqgan/quantize.quantize_topk)
+    topk_position0_compat: bool = False
     step_size_denom: float = 2.0
     use_rgbd_integration: bool = False
     trajectory_shape: str = "grid"  # grid | spiral | cylinder | trajectory
     order: str = "zigzag"
     image_resolution: Tuple[int, int] = (256, 256)
     collision: str = "nearest"
-    tsdf_dims: Tuple[int, int, int] = (256, 256, 128)
+    # TSDF volume: None = auto-size/place from the trajectory ∪ frustum hull
+    # (mapping.tsdf.auto_config); set both dims+origin for manual placement
+    tsdf_dims: Optional[Tuple[int, int, int]] = None
     tsdf_origin: Optional[Tuple[float, float, float]] = None
+    tsdf_mem_cap_gb: float = 6.0
+    tsdf_pool_capacity: Optional[int] = None  # None = auto from volume size
     raycast_samples: int = 192
-    # nearest-voxel TSDF sampling in the loop (8x fewer gathers than
+    # map re-query renderer: 'splat' = O(surface pool) packed z-buffer (the
+    # fast path); 'raycast' = classic ray marching (O(rays x samples))
+    requery_method: str = "splat"
+    # nearest-voxel TSDF sampling in the raycast path (8x fewer gathers than
     # trilinear; gathers are the raycast bottleneck, see NOTES.md)
     raycast_interp: str = "nearest"
     pose_file: Optional[str] = None
@@ -105,20 +118,37 @@ def _build_grid(cfg: SceneGenConfig, intrinsics=None) -> PoseGrid:
     raise NotImplementedError(cfg.trajectory_shape)
 
 
-def _tsdf_config(cfg: SceneGenConfig, grid: PoseGrid) -> TSDFConfig:
+def _tsdf_config(
+    cfg: SceneGenConfig, grid: PoseGrid, depth_range: Tuple[float, float]
+) -> TSDFConfig:
     base = DEFAULT_TSDF[cfg.dataset]
-    if cfg.tsdf_origin is not None:
-        origin = cfg.tsdf_origin
-    else:
-        # center the volume on the camera trajectory's bounding box
-        extent = np.asarray(cfg.tsdf_dims) * base["voxel_size"]
-        center = grid.position.mean(axis=0)
-        origin = tuple(center - extent / 2)
-    return TSDFConfig(
-        dims=cfg.tsdf_dims,
+    if cfg.tsdf_dims is not None:
+        if cfg.tsdf_origin is not None:
+            origin = cfg.tsdf_origin
+        else:
+            # center the manual volume on the camera trajectory's bbox
+            extent = np.asarray(cfg.tsdf_dims) * base["voxel_size"]
+            center = grid.position.mean(axis=0)
+            origin = tuple(center - extent / 2)
+        return TSDFConfig(
+            dims=cfg.tsdf_dims,
+            voxel_size=base["voxel_size"],
+            sdf_trunc=base["sdf_trunc"],
+            origin=origin,
+            pool_capacity=cfg.tsdf_pool_capacity or (1 << 19),
+        )
+    # auto: contain the full trajectory ∪ viewing-frustum hull (the
+    # reference's ScalableTSDFVolume is unbounded, inference_pipeline.py:122)
+    c2ws = np.stack([grid.c2w(i) for i in range(grid.size)])
+    return auto_config(
+        c2ws,
+        grid.K,
+        cfg.image_resolution,
+        depth_range,
         voxel_size=base["voxel_size"],
         sdf_trunc=base["sdf_trunc"],
-        origin=origin,
+        mem_cap_bytes=cfg.tsdf_mem_cap_gb * 1e9,
+        pool_capacity=cfg.tsdf_pool_capacity,
     )
 
 
@@ -149,7 +179,7 @@ class InfiniteSceneGeneration:
         self.volume: Optional[TSDFVolume] = None
         self.tsdf_cfg: Optional[TSDFConfig] = None
         if cfg.use_rgbd_integration:
-            self.tsdf_cfg = _tsdf_config(cfg, self.grid)
+            self.tsdf_cfg = _tsdf_config(cfg, self.grid, self.codec.depth_range)
             self.volume = create_volume(self.tsdf_cfg)
         self._seeds = seeds
         self.reset()
@@ -218,7 +248,7 @@ class InfiniteSceneGeneration:
         tgt_depth = render_depth(
             volume, self.tsdf_cfg, ks[0], tgt_w2c, (h, w),
             near=near, far=far, n_samples=self.cfg.raycast_samples,
-            interp=self.cfg.raycast_interp,
+            method=self.cfg.requery_method, interp=self.cfg.raycast_interp,
         )
         warped = inverse_warp_multi_src(
             rgb_buf[src_idx][None],
@@ -242,6 +272,7 @@ class InfiniteSceneGeneration:
             params, self.model_cfg, cond.x,
             extrapolation_mask=cond.extrapolation_mask,
             topk=self.cfg.topk, rng=rng, sample_number=1,
+            topk_position0_bug=self.cfg.topk_position0_compat,
         )
         xrec = res.xrec[:, 0]  # sample 0 (reference sample_number=1, :881)
         rgb = jnp.clip(xrec[..., :3], -1.0, 1.0)
@@ -480,10 +511,37 @@ class InfiniteSceneGeneration:
                     # save_to_disk (inference_pipeline.py:913-914)
                     self.export_frame(self.output_dir, self.curr, tgt)
                 self.curr += 1
+        self._check_fusion()
         if self.output_dir:
             self.export_frames(self.output_dir)
             self.export_point_clouds(self.output_dir)
         return self.rgb_buf, self.depth_buf
+
+    def fusion_stats(self):
+        """(fused/valid fraction, n valid depth samples, pool drops) — the
+        map-truncation telemetry the reference lacks (its out-of-volume
+        samples vanish silently inside Open3D)."""
+        if self.volume is None:
+            return 1.0, 0.0, 0.0
+        return fusion_fraction(self.volume)
+
+    def _check_fusion(self) -> None:
+        if self.volume is None:
+            return
+        frac, n_valid, dropped = self.fusion_stats()
+        if n_valid > 0 and frac < 0.99:
+            print(
+                f"WARNING: only {frac:.1%} of {n_valid:.0f} valid depth "
+                f"samples landed inside the TSDF volume "
+                f"(dims={self.tsdf_cfg.dims}, origin={self.tsdf_cfg.origin}) "
+                f"— the map is truncating the scene"
+            )
+        if dropped > 0:
+            print(
+                f"WARNING: surface-voxel pool overflowed "
+                f"({dropped:.0f} candidates dropped; capacity "
+                f"{self.tsdf_cfg.pool_capacity}) — raise tsdf_pool_capacity"
+            )
 
     # ------------------------------------------------------------- exports
     def export_frame(self, out_dir: str, step: int, coord) -> None:
@@ -540,15 +598,33 @@ class InfiniteSceneGeneration:
             pts, cols = merge_point_clouds(clouds)
             write_ply(os.path.join(out_dir, "merged_pcds.ply"), pts, cols)
         if self.volume is not None:
-            pts, cols = extract_points(self.volume, self.tsdf_cfg)
-            write_ply(os.path.join(out_dir, "rgbd_integrated_mesh.ply"), pts, cols)
+            visited = [i for i in range(self.grid.size) if self.grid.visited[i]]
+            w2cs = np.stack([self.grid.w2c(i) for i in visited]) if visited else None
+
+            def _colorize(points: np.ndarray) -> np.ndarray:
+                # color by reprojection into the generated frames (the in-loop
+                # TSDF carries no color by design; see tsdf.colorize_points)
+                if w2cs is None:
+                    return np.full((len(points), 3), 0.5, np.float32)
+                return colorize_points(
+                    points, rgb[visited], depth[visited],
+                    np.asarray(self.grid.K), w2cs,
+                    tol=4 * self.tsdf_cfg.voxel_size,
+                )
+
+            pts, _ = extract_points(self.volume, self.tsdf_cfg)
+            write_ply(
+                os.path.join(out_dir, "rgbd_integrated_mesh.ply"),
+                pts, _colorize(pts),
+            )
             # triangle mesh via the native extractor (reference
             # extract_triangle_mesh, inference_pipeline.py:786)
             try:
                 from sgam_neurips22_tpu.mapping.mesh import extract_mesh, write_mesh_ply
 
-                verts, vcols = extract_mesh(self.volume, self.tsdf_cfg)
+                verts, _ = extract_mesh(self.volume, self.tsdf_cfg)
                 if len(verts):
+                    vcols = _colorize(verts.reshape(-1, 3)).reshape(verts.shape)
                     write_mesh_ply(
                         os.path.join(out_dir, "rgbd_integrated_trimesh.ply"), verts, vcols
                     )

@@ -1,4 +1,5 @@
-"""TSDF mapping tests: integrate/raycast round-trips + PLY export."""
+"""TSDF mapping tests: scatter-band fusion, splat/raycast re-render,
+auto-sized volumes (scalability), fusion telemetry, PLY export."""
 import jax.numpy as jnp
 import numpy as np
 
@@ -10,8 +11,11 @@ from sgam_neurips22_tpu.mapping.pointcloud import (
 )
 from sgam_neurips22_tpu.mapping.tsdf import (
     TSDFConfig,
+    auto_config,
+    colorize_points,
     create_volume,
     extract_points,
+    fusion_fraction,
     integrate,
     render_depth,
 )
@@ -19,7 +23,8 @@ from sgam_neurips22_tpu.mapping.tsdf import (
 H = W = 48
 K = make_intrinsics(40.0, 40.0, (W - 1) / 2, (H - 1) / 2)
 CFG = TSDFConfig(
-    dims=(64, 64, 64), voxel_size=0.1, sdf_trunc=0.4, origin=(-3.2, -3.2, 0.0)
+    dims=(64, 64, 64), voxel_size=0.1, sdf_trunc=0.4, origin=(-3.2, -3.2, 0.0),
+    pool_capacity=1 << 15,
 )
 
 
@@ -29,31 +34,31 @@ def flat_wall_frame(depth_val=3.0):
     return jnp.asarray(depth), jnp.asarray(rgb)
 
 
-def test_integrate_then_raycast_recovers_plane():
+def test_integrate_then_rerender_recovers_plane():
     """Fuse a flat wall at z=3 from the identity camera, re-render from the
-    same pose: depth must come back ~3 in the central region."""
+    same pose with BOTH methods: depth must come back ~3 centrally."""
     vol = create_volume(CFG)
     depth, rgb = flat_wall_frame(3.0)
     ext = jnp.eye(4)
     vol = integrate(vol, CFG, depth, rgb, K, ext)
     assert float(vol.weight.max()) > 0
-    rendered = np.asarray(
-        render_depth(vol, CFG, K, ext, (H, W), near=1.0, far=5.0, n_samples=128)
-    )
-    center = rendered[16:32, 16:32]
-    assert (center > 0).all(), "central rays must hit the fused wall"
-    np.testing.assert_allclose(center, 3.0, atol=0.08)
+    assert int(vol.pool_count) > 0
+    for method in ("splat", "raycast"):
+        rendered = np.asarray(
+            render_depth(vol, CFG, K, ext, (H, W), near=1.0, far=5.0,
+                         n_samples=128, method=method)
+        )
+        center = rendered[16:32, 16:32]
+        assert (center > 0).all(), f"{method}: central rays must hit the wall"
+        np.testing.assert_allclose(center, 3.0, atol=0.08, err_msg=method)
 
 
-def test_raycast_from_shifted_pose():
-    """Render the fused wall from a camera moved 0.5m toward it: depth ~2.5."""
+def test_rerender_from_shifted_pose():
+    """Render the fused wall from a camera moved 0.5m back: depth ~3.5."""
     vol = create_volume(CFG)
     depth, rgb = flat_wall_frame(3.0)
     vol = integrate(vol, CFG, depth, rgb, K, jnp.eye(4))
-    ext = jnp.eye(4).at[2, 3].set(0.5)  # world->cam: z' = z + 0.5... wall at 3.5?
-    # extrinsic T: cam = R @ world + t; moving camera +0.5 along z means
-    # world point z=3 -> cam z = 3 + 0.5? No: camera at z=-0.5 looking +z,
-    # so cam z = 3 - (-0.5) = 3.5. t = -R @ C = +0.5 => C = (0,0,-0.5).
+    ext = jnp.eye(4).at[2, 3].set(0.5)  # t=+0.5 => camera center (0,0,-0.5)
     rendered = np.asarray(
         render_depth(vol, CFG, K, ext, (H, W), near=1.0, far=5.0, n_samples=160)
     )
@@ -64,30 +69,156 @@ def test_raycast_from_shifted_pose():
 
 def test_unobserved_rays_return_zero():
     vol = create_volume(CFG)
-    rendered = np.asarray(
-        render_depth(vol, CFG, K, jnp.eye(4), (H, W), near=1.0, far=5.0, n_samples=32)
-    )
-    assert (rendered == 0).all()
+    for method in ("splat", "raycast"):
+        rendered = np.asarray(
+            render_depth(vol, CFG, K, jnp.eye(4), (H, W), near=1.0, far=5.0,
+                         n_samples=32, method=method)
+        )
+        assert (rendered == 0).all(), method
 
 
-def test_multi_frame_fusion_averages():
+def test_multi_frame_fusion_accumulates():
     vol = create_volume(CFG)
     d1, rgb = flat_wall_frame(3.0)
-    vol = integrate(vol, CFG, d1, rgb, K, jnp.eye(4))
-    vol = integrate(vol, CFG, d1, rgb, K, jnp.eye(4))
-    w = np.asarray(vol.weight)
-    assert float(w.max()) == 2.0
+    vol1 = integrate(vol, CFG, d1, rgb, K, jnp.eye(4))
+    vol2 = integrate(vol1, CFG, d1, rgb, K, jnp.eye(4))
+    # identical frame twice: sums double => the zero crossing (the fused
+    # surface) is unchanged, observedness is unchanged
+    np.testing.assert_allclose(
+        np.asarray(vol2.grid), 2 * np.asarray(vol1.grid), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(vol2.weight), np.asarray(vol1.weight)
+    )
+    # pool does not duplicate voxels across frames
+    assert int(vol2.pool_count) == int(vol1.pool_count)
 
 
 def test_extract_points_near_surface():
     vol = create_volume(CFG)
     depth, rgb = flat_wall_frame(3.0)
     vol = integrate(vol, CFG, depth, rgb, K, jnp.eye(4))
-    pts, cols = extract_points(vol, CFG, max_abs_tsdf=0.25)
+    pts, _ = extract_points(vol, CFG, max_abs_tsdf=0.25)
     assert len(pts) > 0
-    # surface points should sit near z=3
     assert np.abs(pts[:, 2] - 3.0).mean() < 0.15
-    assert np.allclose(cols, 0.5, atol=1e-5)
+    # colorize by reprojection into the source frame ([-1,1] rgb of 0.5 -> 0.75)
+    cols = colorize_points(
+        pts, np.asarray(rgb)[None], np.asarray(depth)[None],
+        np.asarray(K), np.eye(4)[None], tol=4 * CFG.voxel_size,
+    )
+    assert (np.abs(cols - 0.75) < 1e-5).mean() > 0.95
+
+
+def test_fusion_telemetry_counts_out_of_volume():
+    """Half the frame's depth lands outside the volume: the stats must say
+    so (the silent-truncation fix; reference Open3D drops these silently)."""
+    small = TSDFConfig(
+        dims=(32, 32, 32), voxel_size=0.1, sdf_trunc=0.3,
+        origin=(-1.6, -1.6, 2.0), pool_capacity=1 << 14,
+    )  # volume z in [2.0, 5.2]
+    vol = create_volume(small)
+    depth = np.full((H, W), 3.0, np.float32)
+    depth[: H // 2] = 10.0  # beyond the volume
+    vol = integrate(vol, small, jnp.asarray(depth), jnp.zeros((H, W, 3)), K, jnp.eye(4))
+    frac, n_valid, _ = fusion_fraction(vol)
+    assert n_valid == H * W
+    assert 0.2 < frac < 0.8
+
+
+def test_pool_overflow_is_counted_not_silent():
+    tiny_pool = TSDFConfig(
+        dims=(64, 64, 64), voxel_size=0.1, sdf_trunc=0.4,
+        origin=(-3.2, -3.2, 0.0), pool_capacity=8,
+    )
+    vol = create_volume(tiny_pool)
+    depth, rgb = flat_wall_frame(3.0)
+    vol = integrate(vol, tiny_pool, depth, rgb, K, jnp.eye(4))
+    _, _, dropped = fusion_fraction(vol)
+    assert int(vol.pool_count) == 8
+    assert dropped > 0
+
+
+def _default_scene_fused_fraction(dataset: str, output_dim) -> float:
+    """Build the dataset's default trajectory + auto volume, then check that
+    synthetic depth across the full codec range lands inside the volume."""
+    from sgam_neurips22_tpu.geometry.codec import get_codec
+    from sgam_neurips22_tpu.pipeline.trajectory import prepare_grid
+
+    grid = prepare_grid(dataset, output_dim)
+    codec = get_codec(dataset)
+    from sgam_neurips22_tpu.pipeline.scene_generation import DEFAULT_TSDF
+
+    base = DEFAULT_TSDF[dataset]
+    cfg = auto_config(
+        np.stack([grid.c2w(i) for i in range(grid.size)]),
+        grid.K, (256, 256), codec.depth_range,
+        voxel_size=base["voxel_size"], sdf_trunc=base["sdf_trunc"],
+        verbose=False,
+    )
+    # sample depth across the codec range at every 7th pose, random pixels
+    rng = np.random.default_rng(0)
+    lo, hi = codec.depth_range
+    kinv = np.linalg.inv(np.asarray(grid.K, np.float64))
+    n_in = n_total = 0
+    for idx in range(0, grid.size, 7):
+        uv = np.concatenate(
+            [rng.uniform(0, 256, (512, 2)), np.ones((512, 1))], axis=1
+        )
+        d = rng.uniform(lo, hi, (512, 1))
+        cam = (uv @ kinv.T) * d
+        c2w = grid.c2w(idx)
+        world = cam @ c2w[:3, :3].T + c2w[:3, 3]
+        g = (world - np.asarray(cfg.origin)) / cfg.voxel_size
+        inb = ((g >= 0) & (g < np.asarray(cfg.dims))).all(axis=1)
+        n_in += int(inb.sum())
+        n_total += len(inb)
+    return n_in / n_total
+
+
+def test_auto_volume_contains_clevr_default_scene():
+    """CLEVR 20x20 grid defaults must fuse >=99% of valid depth samples
+    (VERDICT round-1 gap: the fixed 256x256x128 volume could not contain
+    the 20x20 grid + 7-16m viewing depth)."""
+    assert _default_scene_fused_fraction("clevr-infinite", (20, 20)) >= 0.99
+
+
+def test_auto_volume_contains_google_earth_default_scene():
+    """GoogleEarth 100x1 trajectory defaults must fuse >=99%."""
+    assert _default_scene_fused_fraction("google_earth", (100, 1)) >= 0.99
+
+
+def test_auto_config_memory_cap_coarsens_voxel():
+    grid_c2ws = np.eye(4)[None]
+    cfg = auto_config(
+        grid_c2ws, np.asarray(K), (H, W), (1.0, 50.0),
+        voxel_size=0.001, sdf_trunc=0.01, mem_cap_bytes=1e8, verbose=False,
+    )
+    assert cfg.voxel_size > 0.001
+    assert int(np.prod(cfg.dims)) * 9 <= 1.1e8
+
+
+def test_end_to_end_fused_fraction_small_scene():
+    """Integrate in-range synthetic frames over a small trajectory into an
+    auto-sized volume: >=99% of valid samples must fuse (on-device stats)."""
+    from sgam_neurips22_tpu.pipeline.trajectory import prepare_grid
+
+    grid = prepare_grid("clevr-infinite", (2, 2))
+    cfg = auto_config(
+        np.stack([grid.c2w(i) for i in range(grid.size)]),
+        np.asarray(K), (H, W), (7.0, 16.0),
+        voxel_size=0.15, sdf_trunc=0.6, verbose=False, pool_capacity=1 << 16,
+    )
+    vol = create_volume(cfg)
+    rng = np.random.default_rng(1)
+    for idx in range(grid.size):
+        depth = rng.uniform(7.0, 16.0, (H, W)).astype(np.float32)
+        vol = integrate(
+            vol, cfg, jnp.asarray(depth), jnp.zeros((H, W, 3)),
+            jnp.asarray(K), jnp.asarray(grid.w2c(idx), jnp.float32),
+        )
+    frac, n_valid, _ = fusion_fraction(vol)
+    assert n_valid == grid.size * H * W
+    assert frac >= 0.99
 
 
 def test_ply_roundtrip(tmp_path):
@@ -110,15 +241,17 @@ def test_unproject_identity_depth():
     assert np.allclose(cols, 0.25)  # (-0.5+1)/2
 
 
-def test_nearest_interp_raycast_close_to_trilinear():
+def test_splat_render_close_to_raycast():
     vol = create_volume(CFG)
     depth, rgb = flat_wall_frame(3.0)
     vol = integrate(vol, CFG, depth, rgb, K, jnp.eye(4))
-    tri = np.asarray(render_depth(vol, CFG, K, jnp.eye(4), (H, W), 1.0, 5.0, 128))
-    near = np.asarray(
-        render_depth(vol, CFG, K, jnp.eye(4), (H, W), 1.0, 5.0, 128, interp="nearest")
+    ray = np.asarray(
+        render_depth(vol, CFG, K, jnp.eye(4), (H, W), 1.0, 5.0, 128,
+                     method="raycast", interp="trilinear")
     )
-    hit = (tri > 0) & (near > 0)
+    spl = np.asarray(
+        render_depth(vol, CFG, K, jnp.eye(4), (H, W), 1.0, 5.0, method="splat")
+    )
+    hit = (ray > 0) & (spl > 0)
     assert hit.mean() > 0.2
-    # agreement within ~1 voxel where both hit
-    assert np.abs(tri[hit] - near[hit]).max() < CFG.voxel_size * 2
+    assert np.abs(ray[hit] - spl[hit]).max() < CFG.voxel_size * 2

@@ -21,10 +21,15 @@ def sphere_volume(n=48, radius=1.0):
     gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
     dist = np.sqrt(gx**2 + gy**2 + gz**2) - radius
     tsdf = np.clip(dist / cfg.sdf_trunc, -1, 1).astype(np.float32)
+    # the grid stores signed sums; a single observation == the tsdf itself.
+    # nudge exact zeros (weight == grid != 0 means observed) off zero.
+    tsdf = np.where(tsdf == 0.0, 1e-6, tsdf)
     vol = TSDFVolume(
-        tsdf=tsdf,
-        weight=np.ones_like(tsdf),
-        color=np.full((n, n, n, 3), 0.5, np.float32),
+        grid=tsdf,
+        flags=np.zeros(n * n * n, np.uint8),
+        pool_ids=np.zeros(cfg.pool_capacity, np.int32),
+        pool_count=np.zeros((), np.int32),
+        stats=np.zeros(3, np.float32),
     )
     return vol, cfg
 
@@ -53,6 +58,6 @@ def test_mesh_ply_write(tmp_path):
 
 def test_unobserved_cells_skipped():
     vol, cfg = sphere_volume(n=24)
-    vol = vol._replace(weight=np.zeros_like(np.asarray(vol.weight)))
+    vol = vol.replace(grid=np.zeros_like(np.asarray(vol.grid)))
     verts, _ = extract_mesh(vol, cfg)
     assert len(verts) == 0

@@ -144,3 +144,64 @@ def test_export_import_torch_ckpt_roundtrip(tmp_path):
     assert set(orig) == set(back)
     for k in orig:
         np.testing.assert_array_equal(orig[k], back[k], err_msg=k)
+
+
+def _load_parity_module():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "parity_check.py")
+    spec = importlib.util.spec_from_file_location("parity_check", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_parity_harness_every_stage_roundtrips(tmp_path):
+    """The one-command parity harness (tools/parity_check.py) must pass at
+    EVERY stage on an exporter round-trip: params -> torch .ckpt -> converted
+    params, plus the torch-functional oracle on encode..decode (VERDICT
+    round-1 item 6)."""
+    import torch
+
+    from sgam_neurips22_tpu.core.torch_convert import convert_checkpoint
+
+    pc = _load_parity_module()
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    cfg = TINY
+    params = init_vqmodel(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "exported.ckpt")
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+        for k, v in params_to_state_dict(params).items()
+    }
+    torch.save({"state_dict": sd, "global_step": 0}, ckpt)
+
+    converted, _, _ = convert_checkpoint(ckpt)
+    params2 = init_from_ckpt(init_vqmodel(jax.random.PRNGKey(1), cfg), converted)
+
+    x = np.random.default_rng(0).uniform(-1, 1, (1, 32, 32, 4)).astype(np.float32)
+    want = pc.compute_stages(params, cfg, x)
+    got = pc.compute_stages(params2, cfg, x)
+    assert set(pc.TOLERANCES) <= set(want), "a documented stage is missing"
+    rows = pc.compare_stages(got, want)
+    assert len(rows) == len(pc.TOLERANCES)
+    for stage, diff, tol, ok in rows:
+        assert ok, f"{stage}: {diff} > {tol}"
+
+    # npz record/compare round trip
+    gfile = str(tmp_path / "goldens.npz")
+    np.savez_compressed(gfile, **want)
+    loaded = dict(np.load(gfile))
+    assert all(ok for _, _, _, ok in pc.compare_stages(got, loaded))
+
+    # cross-framework: torch-functional oracle on the same ckpt
+    class A:
+        pass
+
+    args = A()
+    args.ckpt = ckpt
+    oracle = pc.torch_oracle_stages(args, cfg, x)
+    for stage, diff, tol, ok in pc.compare_stages(got, oracle):
+        assert ok, f"torch oracle {stage}: {diff} > {tol}"

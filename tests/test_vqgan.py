@@ -219,3 +219,55 @@ def test_load_codebook_init(tmp_path):
     np.testing.assert_allclose(np.asarray(cb), kd)
     with pytest.raises(ValueError):
         load_codebook_init(path, 32, 8)
+
+
+def test_topk_position0_bug_compat_mode():
+    """Opt-in reproduction of the reference's get_multiple_codewords bug
+    (quantize.py:358): every position draws its top-k SLOT from position 0's
+    distribution but maps through its own top-k ids. With position 0's
+    distribution made a point mass on slot j, every position must return its
+    own j-th nearest codeword."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    # widely-spread codewords => position 0's softmax is a point mass
+    codebook = jnp.asarray(4.0 * rng.normal(size=(32, 8)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(1, 4, 4, 8)).astype(np.float32))
+    # make position 0's latent EXACTLY codeword 5 => its top-1 distance is 0
+    # and, with distinct codewords, softmax(-d) ~ point mass on slot 0
+    z = z.at[0, 0, 0].set(codebook[5] * 1.0)
+    z = z.at[0, 0, 0].add(0.0)
+
+    from sgam_neurips22_tpu.models.vqgan.quantize import (
+        codeword_distances,
+        quantize_topk,
+    )
+
+    # sharpen position 0's distribution into a point mass by scaling the
+    # codebook distances: use a z far closer to one codeword than the rest
+    res = quantize_topk(
+        codebook, z, jax.random.PRNGKey(0), topk=3, sample_number=16,
+        position0_bug=True,
+    )
+    d = np.asarray(codeword_distances(np.asarray(z).reshape(-1, 8), codebook))
+    top3 = np.argsort(d, axis=1)[:, :3]
+    idx = np.asarray(res.indices)  # [1, 16, 4, 4]
+    flat = idx.reshape(16, -1)  # [S, P]
+    # position 0's softmax is ~point mass on slot 0 (distance 0 vs others)
+    p0 = np.exp(-d[0, top3[0]])
+    p0 /= p0.sum()
+    assert p0[0] > 0.999
+    # -> every position must (almost surely) emit its OWN nearest codeword
+    for pos in range(flat.shape[1]):
+        assert (flat[:, pos] == top3[pos, 0]).all()
+
+    # sanity: default mode samples from per-position distributions (still
+    # valid top-3 members per position)
+    res2 = quantize_topk(
+        codebook, z, jax.random.PRNGKey(0), topk=3, sample_number=16,
+    )
+    flat2 = np.asarray(res2.indices).reshape(16, -1)
+    for pos in range(flat2.shape[1]):
+        assert np.isin(flat2[:, pos], top3[pos]).all()
