@@ -69,6 +69,27 @@ class OnlineKMeansConfig:
 
 
 @dataclass(frozen=True)
+class SchedulerConfig:
+    """Opt-in LambdaWarmUpCosineScheduler wiring. The reference DEFINES this
+    scheduler (lr_scheduler.py:4-33) but never wires it into
+    configure_optimizers — constant LR is the parity default; set
+    `model.params.lr_scheduler_config` in the YAML to enable it here."""
+
+    warm_up_steps: int = 10_000
+    lr_min: float = 0.0
+    lr_max: float = 1.0
+    lr_start: float = 0.0
+    max_decay_steps: int = 1_000_000
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any] | None):
+        if not d:
+            return None
+        known = set(cls.__dataclass_fields__)
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     model: VQModelConfig
     loss: LossConfig
@@ -80,10 +101,26 @@ class TrainConfig:
     # only entered the LR formula because of manual optimization,
     # SURVEY.md section 2.10; here it actually accumulates via optax.MultiSteps)
     accumulate_grad_batches: int = 1
+    # None = constant LR (reference parity); SchedulerConfig = opt-in
+    # warmup-cosine multiplier on learning_rate
+    lr_scheduler: Optional[SchedulerConfig] = None
 
     @property
     def phase(self) -> str:
         return self.model.phase
+
+    def lr_at(self, step) -> Any:
+        """Effective LR at a step (for the LR monitor; reference logs per-step
+        LR via LearningRateMonitor, train CLI :164-169)."""
+        if self.lr_scheduler is None:
+            return self.learning_rate
+        from sgam_neurips22_tpu.training.lr_schedule import lambda_warmup_cosine
+
+        s = self.lr_scheduler
+        sched = lambda_warmup_cosine(
+            s.warm_up_steps, s.lr_min, s.lr_max, s.lr_start, s.max_decay_steps
+        )
+        return self.learning_rate * sched(step)
 
 
 def split_params(params: Dict[str, Any], phase: str):
@@ -93,11 +130,24 @@ def split_params(params: Dict[str, Any], phase: str):
     return trainable, frozen
 
 
-def make_optimizers(lr: float, accumulate: int = 1):
+def make_optimizers(
+    lr: float, accumulate: int = 1, scheduler: Optional[SchedulerConfig] = None
+):
     """Adam betas (0.5, 0.9) for both (reference model.py:422,432), with
-    optional true gradient accumulation."""
-    ae = optax.adam(lr, b1=0.5, b2=0.9)
-    disc = optax.adam(lr, b1=0.5, b2=0.9)
+    optional true gradient accumulation and an optional warmup-cosine LR
+    multiplier (SchedulerConfig)."""
+    if scheduler is not None:
+        from sgam_neurips22_tpu.training.lr_schedule import lambda_warmup_cosine
+
+        mult = lambda_warmup_cosine(
+            scheduler.warm_up_steps, scheduler.lr_min, scheduler.lr_max,
+            scheduler.lr_start, scheduler.max_decay_steps,
+        )
+        rate = lambda step: lr * mult(step)
+    else:
+        rate = lr
+    ae = optax.adam(rate, b1=0.5, b2=0.9)
+    disc = optax.adam(rate, b1=0.5, b2=0.9)
     if accumulate > 1:
         ae = optax.MultiSteps(ae, every_k_schedule=accumulate)
         disc = optax.MultiSteps(disc, every_k_schedule=accumulate)
@@ -112,7 +162,9 @@ def create_train_state(
     k_model, k_disc = jax.random.split(key)
     params = init_vqmodel(k_model, cfg.model)
     disc_params, disc_state = init_discriminator(k_disc, cfg.loss.disc_config)
-    opt_ae, opt_disc = make_optimizers(cfg.learning_rate, cfg.accumulate_grad_batches)
+    opt_ae, opt_disc = make_optimizers(
+        cfg.learning_rate, cfg.accumulate_grad_batches, cfg.lr_scheduler
+    )
     trainable, _ = split_params(params, cfg.phase)
     state: Dict[str, Any] = {
         "params": params,
@@ -177,7 +229,9 @@ def train_step(
     """One full training step (AE update + discriminator update)."""
     step = state["step"]
     x, x_dst, mask = _model_inputs(batch, cfg)
-    opt_ae, opt_disc = make_optimizers(cfg.learning_rate, cfg.accumulate_grad_batches)
+    opt_ae, opt_disc = make_optimizers(
+        cfg.learning_rate, cfg.accumulate_grad_batches, cfg.lr_scheduler
+    )
 
     # ---- optimizer 0: autoencoder (reference model.py:327-334)
     trainable, frozen = split_params(state["params"], cfg.phase)

@@ -31,6 +31,7 @@ from sgam_neurips22_tpu.training.lpips import init_lpips
 from sgam_neurips22_tpu.training.losses import LossConfig
 from sgam_neurips22_tpu.training.train_step import (
     OnlineKMeansConfig,
+    SchedulerConfig,
     TrainConfig,
     create_train_state,
     eval_step,
@@ -48,11 +49,13 @@ def train_config_from_yaml(cfg: ConfigDict) -> TrainConfig:
     km = OnlineKMeansConfig.from_dict(
         dict(mp.get("online_kmeans_config") or {})
     )
+    sched = SchedulerConfig.from_dict(dict(mp.get("lr_scheduler_config") or {}))
     return TrainConfig(
         model=model_cfg,
         loss=loss_cfg,
         learning_rate=float(cfg.model.get("base_learning_rate", 4.5e-6)),
         online_kmeans=km,
+        lr_scheduler=sched,
     )
 
 
@@ -101,6 +104,7 @@ class Trainer:
             model=base.model, loss=base.loss, learning_rate=lr,
             online_kmeans=base.online_kmeans,
             accumulate_grad_batches=accumulate_grad_batches,
+            lr_scheduler=base.lr_scheduler,
         )
         print(
             f"lr = {lr:.3e} = {accumulate_grad_batches} (accum) x {bs} "
@@ -151,7 +155,7 @@ class Trainer:
             **{k: v for k, v in cfg.data.params.items()},
         )
         self.metrics = MetricLogger(logdir, use_wandb=use_wandb)
-        self.images = ImageLogger(logdir)
+        self.images = ImageLogger(logdir, wandb_run=self.metrics.wandb)
         self.ckpt = CheckpointManager(
             os.path.join(logdir, "checkpoints"), save_interval_steps=10_000
         )
@@ -222,7 +226,7 @@ class Trainer:
                         self.state, batch, self.lpips_params, self._step_cfg(step)
                     )
                     if step % 50 == 0:
-                        logs["lr"] = self.train_cfg.learning_rate  # LR monitor
+                        logs["lr"] = float(self.train_cfg.lr_at(step))  # LR monitor
                         self.metrics.log(
                             {k: v for k, v in logs.items()}, step
                         )
@@ -231,19 +235,30 @@ class Trainer:
                     self.ckpt.save(step, jax.device_get(self.state))
                     if self.max_steps and step >= self.max_steps:
                         self.validate()
+                        self.test()
                         return
                 self.validate()
+            self.test()
         except BaseException:
             # crash -> emergency checkpoint (reference 'melk', :221-225)
             self._emergency_save()
             raise
 
-    def validate(self) -> None:
+    def test(self) -> None:
+        """Run the test split after fit (reference trainer.test, train CLI
+        :227). The reference DataModule serves validation data as the test
+        split (data/utils/utils.py:281) and test_step == validation_step
+        (model.py:344-354), so this evaluates the test loader (falling back
+        to val) with the same val/* metric names."""
+        loader = getattr(self.data, "test_loader", None) or self.data.val_loader
+        self.validate(loader=loader)
+
+    def validate(self, loader=None) -> None:
         step = int(self.state["step"])
         agg: Dict[str, list] = {}
         usage = np.zeros(self.train_cfg.model.n_embed, np.int64)
         n = 0
-        for batch in self.data.val_loader():
+        for batch in (loader or self.data.val_loader)():
             logs = eval_step(self.state, batch, self.lpips_params, self.train_cfg)
             idx = np.asarray(logs.pop("val/indices"))
             usage += np.bincount(idx.reshape(-1), minlength=len(usage))

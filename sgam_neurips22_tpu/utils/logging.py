@@ -61,11 +61,20 @@ class ImageLogger:
     disparity channels under logdir/images/<split>/
     (reference ImageLogger, data/utils/utils.py:360-469)."""
 
-    def __init__(self, logdir: str, every_n_steps: int = 750, max_images: int = 4):
+    def __init__(
+        self,
+        logdir: str,
+        every_n_steps: int = 750,
+        max_images: int = 4,
+        wandb_run=None,
+    ):
         self.dir = os.path.join(logdir, "images")
         self.every = every_n_steps
         self.max_images = max_images
         self.early = set(log_spaced_steps())
+        # reference ImageLogger also pushes grids to the wandb logger
+        # (data/utils/utils.py:377-396)
+        self.wandb = wandb_run
 
     def should_log(self, step: int) -> bool:
         return step % self.every == 0 or step in self.early
@@ -86,3 +95,13 @@ class ImageLogger:
             Image.fromarray(_to_uint8(grid)).save(
                 os.path.join(out, f"{name}_gs-{step:06d}.png")
             )
+            if self.wandb is not None:
+                try:
+                    import wandb
+
+                    self.wandb.log(
+                        {f"{split}/{name}": wandb.Image(_to_uint8(grid))},
+                        step=step,
+                    )
+                except Exception:
+                    pass

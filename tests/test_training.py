@@ -208,3 +208,26 @@ def test_grad_accumulation_applies_every_k_steps_on_mesh(lpips_params):
     # microbatch 2 of 2: the accumulated update lands
     assert not leaves_equal(s2["params"]["encoder"], before["encoder"])
     assert s2["params"]["encoder"]["conv_in"]["weight"].sharding.is_fully_replicated
+
+
+def test_opt_in_lr_scheduler_drives_updates(lpips_params):
+    """LambdaWarmUpCosineScheduler wiring (opt-in; the reference defines but
+    never wires it, SURVEY.md section 2.5): with lr_start=0 and linear
+    warmup, step 0 applies a ZERO update and step 1 a nonzero one."""
+    from sgam_neurips22_tpu.training.train_step import SchedulerConfig
+
+    cfg = codebook_cfg(
+        lr_scheduler=SchedulerConfig(
+            warm_up_steps=10, lr_start=0.0, lr_max=1.0, lr_min=0.1,
+            max_decay_steps=100,
+        )
+    )
+    assert float(cfg.lr_at(0)) == 0.0
+    assert float(cfg.lr_at(10)) == pytest.approx(cfg.learning_rate)
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), state["params"])
+    batch = make_image_batch()
+    s1, _ = train_step(state, batch, lpips_params, cfg)
+    assert leaves_equal(s1["params"], before)  # LR 0 at step 0
+    s2, _ = train_step(s1, batch, lpips_params, cfg)
+    assert not leaves_equal(s2["params"]["encoder"], before["encoder"])
