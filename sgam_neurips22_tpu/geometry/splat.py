@@ -40,23 +40,92 @@ def median_blur_3x3(x: jnp.ndarray) -> jnp.ndarray:
     """3x3 median filter with zero padding, lower-median tie-breaking.
 
     Matches torch.median over the 9-patch axis (reference warp.py:306-347):
-    for 9 values the median is sorted index 4. Implemented as 9 shifted
-    views + sort — no gathers, fuses on the VPU.
+    for 9 values the median is sorted index 4, which IS the true median, so
+    a median-of-9 min/max selection network (McGuire's 19-exchange network)
+    computes it exactly with pure elementwise VPU ops. (jnp.sort over the
+    9-wide axis hit a TPU sort path that cost 157 ms/frame at batch 8 —
+    160x the batch-4 cost; the network is flat ~0.2 ms and batch-invariant.)
 
     Args:
       x: [B, H, W, C].
     """
     b, h, w, c = x.shape
     padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    patches = jnp.stack(
-        [
-            padded[:, dy : dy + h, dx : dx + w, :]
-            for dy in range(3)
-            for dx in range(3)
-        ],
-        axis=-1,
-    )  # [B, H, W, C, 9]
-    return jnp.sort(patches, axis=-1)[..., 4]
+    p = [
+        padded[:, dy : dy + h, dx : dx + w, :]
+        for dy in range(3)
+        for dx in range(3)
+    ]
+
+    def s2(i, j):
+        lo = jnp.minimum(p[i], p[j])
+        hi = jnp.maximum(p[i], p[j])
+        p[i], p[j] = lo, hi
+
+    # median-of-9 selection network (Morgan McGuire, ShaderX6)
+    s2(1, 2); s2(4, 5); s2(7, 8)
+    s2(0, 1); s2(3, 4); s2(6, 7)
+    s2(1, 2); s2(4, 5); s2(7, 8)
+    s2(0, 3); s2(5, 8); s2(4, 7)
+    s2(3, 6); s2(1, 4); s2(2, 5)
+    s2(4, 7); s2(4, 2); s2(6, 4)
+    s2(4, 2)
+    return p[4]
+
+
+def _zbuffer_scatter_batched_nearest(
+    pix: jnp.ndarray,
+    z: jnp.ndarray,
+    feats: jnp.ndarray,
+    valid: jnp.ndarray,
+    h: int,
+    w: int,
+):
+    """Whole-batch packed z-buffer: ONE scatter-min over [B*H*W] with the
+    batch folded into the pixel index (measured: vmapping the per-image
+    scatter lowers to B serial scatters and regressed multi-scene unrolls
+    ~3x, NOTES.md round 1). The packed key's index field only needs to
+    address points WITHIN one image (each output pixel belongs to exactly
+    one batch element), so the 19-bit capacity is per-image, any B.
+
+    Args:
+      pix: [B, P, 2] int32 (x, y); z: [B, P]; feats: [B, P, C]; valid: [B, P].
+    Returns:
+      (depth [B, H, W, 1], feats_img [B, H, W, C])
+    """
+    b, p_count = z.shape
+    if p_count >= (1 << 19):
+        raise ValueError("packed nearest-splat supports < 2^19 points per image")
+    n_pix = h * w
+    # per-image depth quantization range
+    z_lo = jnp.min(jnp.where(valid, z, jnp.inf), axis=1, keepdims=True)
+    z_hi = jnp.max(jnp.where(valid, z, -jnp.inf), axis=1, keepdims=True)
+    scale = 4095.0 / jnp.maximum(z_hi - z_lo, 1e-6)
+    z_q = jnp.clip((z - z_lo) * scale, 0, 4095).astype(jnp.int32)
+    idx19 = jnp.broadcast_to(
+        jnp.arange(p_count, dtype=jnp.int32)[None, :], (b, p_count)
+    )
+    key = (z_q << 19) | idx19
+    imax = jnp.iinfo(jnp.int32).max
+    key = jnp.where(valid, key, imax)
+    batch_off = (jnp.arange(b, dtype=jnp.int32) * n_pix)[:, None]
+    p = jnp.where(valid, pix[..., 1] * w + pix[..., 0] + batch_off, 0)
+    win = (
+        jnp.full((b * n_pix,), imax, jnp.int32)
+        .at[p.reshape(-1)]
+        .min(key.reshape(-1), mode="drop")
+    )
+    has_point = win != imax
+    # reconstruct the global point id from (pixel's batch element, idx19)
+    scene = jnp.arange(b * n_pix, dtype=jnp.int32) // n_pix
+    safe_idx = jnp.where(has_point, scene * p_count + (win & ((1 << 19) - 1)), 0)
+    zf = z.reshape(-1)
+    ff = feats.reshape(-1, feats.shape[-1])
+    depth = jnp.where(has_point, zf[safe_idx], 0.0).reshape(b, h, w, 1)
+    feats_img = jnp.where(has_point[:, None], ff[safe_idx], 0.0).reshape(
+        b, h, w, feats.shape[-1]
+    )
+    return depth, feats_img
 
 
 def _zbuffer_scatter(
@@ -198,12 +267,18 @@ def render_projection_from_srcs(
         # last-write mode can scatter them; 'last' keeps that for parity).
         valid = valid & (zs > 0)
 
-    def splat_one(pix_b, z_b, feats_b, valid_b):
-        return _zbuffer_scatter(
-            pix_b[:, 0], pix_b[:, 1], z_b, feats_b, valid_b, h, w, collision
+    if collision == "nearest":
+        # one whole-batch scatter (vmap over the scatter serializes on TPU)
+        raw_depth, raw_feats = _zbuffer_scatter_batched_nearest(
+            pix, zs, feats, valid, h, w
         )
+    else:
+        def splat_one(pix_b, z_b, feats_b, valid_b):
+            return _zbuffer_scatter(
+                pix_b[:, 0], pix_b[:, 1], z_b, feats_b, valid_b, h, w, collision
+            )
 
-    raw_depth, raw_feats = jax.vmap(splat_one)(pix, zs, feats, valid)
+        raw_depth, raw_feats = jax.vmap(splat_one)(pix, zs, feats, valid)
 
     # Median hole filling: only zero pixels take the median value
     # (reference warp.py:271-279; note the reference masks features
