@@ -83,7 +83,7 @@ def bench_vqgan_roundtrip() -> dict:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--frames", type=int, default=64)
+    p.add_argument("--frames", type=int, default=100)
     p.add_argument("--rgbd_integration", action="store_true")
     p.add_argument("--per_step", action="store_true")
     p.add_argument("--batch_scenes", type=int, default=0,
@@ -136,6 +136,10 @@ def main() -> None:
 
     if args.config == "google_earth":
         rows, cols = args.frames + 1, 1  # long aerial trajectory (ref 100x1)
+    elif args.config == "flythrough" and not args.rgbd_integration:
+        # BASELINE config #4 verbatim: a 100-frame CLEVR fly-through —
+        # a straight camera line, sources = the previous num_src frames
+        rows, cols = args.frames + 1, 1
     else:
         rows = int(np.ceil((args.frames + 1) ** 0.5))
         cols = rows

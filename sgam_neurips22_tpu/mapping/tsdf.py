@@ -57,11 +57,6 @@ class TSDFConfig:
     pool_capacity: int = 1 << 19  # surface-voxel pool slots (<= 2^20)
 
     def __post_init__(self):
-        if self.pool_capacity > MAX_POOL_CAPACITY:
-            raise ValueError(
-                f"pool_capacity {self.pool_capacity} exceeds packed-key limit "
-                f"{MAX_POOL_CAPACITY}"
-            )
         if int(np.prod(self.dims)) >= 2**31:
             raise ValueError(f"dims {self.dims} overflow int32 linear indexing")
 
@@ -386,12 +381,32 @@ def _render_depth_splat(
     )
     pix = jnp.where(valid, vi * w + ui, 0)
     zq = jnp.clip((z - near) / (far - near) * 4095.0, 0, 4095).astype(jnp.uint32)
-    key = (zq << _POOL_IDX_BITS) | jnp.arange(p, dtype=jnp.uint32)
     sentinel = jnp.uint32(0xFFFFFFFF)
-    key = jnp.where(valid, key, sentinel)
-    win = jnp.full((h * w,), sentinel, jnp.uint32).at[pix].min(key, mode="drop")
-    has = win != sentinel
-    idx = jnp.where(has, win & (MAX_POOL_CAPACITY - 1), 0).astype(jnp.int32)
+    # the packed key indexes 2^20 points; pools beyond that splat in chunks
+    # (cost is linear in capacity either way — the scatter dominates)
+    best = None
+    chunk_sel = jnp.zeros((h * w,), jnp.int32)
+    for ci, c0 in enumerate(range(0, p, MAX_POOL_CAPACITY)):
+        c1 = min(c0 + MAX_POOL_CAPACITY, p)
+        key = (zq[c0:c1] << _POOL_IDX_BITS) | jnp.arange(c1 - c0, dtype=jnp.uint32)
+        key = jnp.where(valid[c0:c1], key, sentinel)
+        win = (
+            jnp.full((h * w,), sentinel, jnp.uint32)
+            .at[pix[c0:c1]]
+            .min(key, mode="drop")
+        )
+        if best is None:
+            best = win
+        else:
+            chunk_sel = jnp.where(win < best, ci, chunk_sel)
+            best = jnp.minimum(best, win)
+    has = best != sentinel
+    idx = jnp.where(
+        has,
+        chunk_sel * MAX_POOL_CAPACITY
+        + (best & (MAX_POOL_CAPACITY - 1)).astype(jnp.int32),
+        0,
+    )
     depth = jnp.where(has, z[idx], 0.0).reshape(h, w)
 
     if refine:
