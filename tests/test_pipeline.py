@@ -206,3 +206,27 @@ def test_per_step_streaming_export(tiny_params, tmp_path):
     assert any(f.startswith("im_00001_") for f in files)
     assert any(f.startswith("R_00001_") for f in files)
     assert "merged_pcds.ply" in files
+
+
+def test_scene_expansion_is_deterministic(tiny_params):
+    """Same seed + same rng => bit-identical scenes (the reference pins RNG
+    seeds and disables cudnn for reproducible unrolls,
+    main_scene_generation.py:10-11,47-49; our packed scatter-min makes the
+    z-buffer deterministic by construction, SURVEY.md section 5.2)."""
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2), num_src=2, topk=4,
+        image_resolution=(H, W),
+    )
+    rgb, depth = make_seed()
+    gen = InfiniteSceneGeneration(
+        tiny_params, TINY, cfg, seeds=[((0, 0), rgb, depth)], intrinsics=TINY_K
+    )
+    a_rgb, a_depth = gen.scene_expansion(jax.random.PRNGKey(7))
+    a_rgb, a_depth = np.asarray(a_rgb), np.asarray(a_depth)
+    gen.reset()
+    b_rgb, b_depth = gen.scene_expansion(jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(a_rgb, np.asarray(b_rgb))
+    np.testing.assert_array_equal(a_depth, np.asarray(b_depth))
+    gen.reset()
+    c_rgb, _ = gen.scene_expansion(jax.random.PRNGKey(8))
+    assert not np.array_equal(a_rgb, np.asarray(c_rgb))
