@@ -478,7 +478,12 @@ class InfiniteSceneGeneration:
 
         return jax.lax.fori_loop(0, t_total, body, (rgb_buf, depth_buf, volume))
 
-    def scene_expansion_batched(self, seeds_batch: list, rng: Optional[jax.Array] = None):
+    def scene_expansion_batched(
+        self,
+        seeds_batch: list,
+        rng: Optional[jax.Array] = None,
+        mesh=None,
+    ):
         """Generate MANY scenes concurrently (production throughput mode).
 
         All scenes share this generator's trajectory/order (so one unroll
@@ -492,6 +497,12 @@ class InfiniteSceneGeneration:
         Args:
           seeds_batch: list over scenes of [(coord, rgb, depth), ...] —
             every scene must seed the SAME coords (plan is shared).
+          mesh: optional jax.sharding.Mesh — shards the SCENE axis over the
+            'data' axis (params/plan replicated). Scene generation is
+            embarrassingly parallel across scenes, so each chip unrolls its
+            own shard with zero collectives: the multi-chip serving mode
+            the reference has no equivalent of (its only parallelism is
+            DDP training). len(seeds_batch) must divide by the mesh size.
         Returns:
           (rgb [S, G, H, W, 3], depth [S, G, H, W]).
         """
@@ -509,8 +520,26 @@ class InfiniteSceneGeneration:
         # the full [S, G, H, W, 3] buffer on the host costs a ~full-buffer
         # host->device transfer per run (measured ~4 s for 8 scenes of 49
         # frames through the remote-TPU tunnel — half the unroll wall time)
-        rgb_bufs = jnp.zeros((s, g, h, w, 3), jnp.float32)
-        depth_bufs = jnp.zeros((s, g, h, w), jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if s % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"{s} scenes do not shard over {mesh.shape['data']} devices"
+                )
+            scene_sh = NamedSharding(mesh, PartitionSpec("data"))
+            from sgam_neurips22_tpu.parallel.mesh import replicate
+
+            self.params = replicate(self.params, mesh)
+            rgb_bufs = jax.device_put(
+                jnp.zeros((s, g, h, w, 3), jnp.float32), scene_sh
+            )
+            depth_bufs = jax.device_put(
+                jnp.zeros((s, g, h, w), jnp.float32), scene_sh
+            )
+        else:
+            rgb_bufs = jnp.zeros((s, g, h, w, 3), jnp.float32)
+            depth_bufs = jnp.zeros((s, g, h, w), jnp.float32)
         for si, seeds in enumerate(seeds_batch):
             for coord, rgb, depth in seeds:
                 idx = self.grid.index(*coord)
