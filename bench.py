@@ -81,6 +81,72 @@ def bench_vqgan_roundtrip() -> dict:
     }
 
 
+def bench_train(phase: str) -> dict:
+    """Training throughput: the full two-optimizer GAN step (L1 + LPIPS +
+    adaptive-weight GAN + codebook loss) on the flagship model with
+    level-remat, reference batch sizes (codebook bs 8; conditional bs 16
+    with n_src=2 splat conditioning, configs/conditional_generation)."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_configs
+    from sgam_neurips22_tpu.training.lpips import init_lpips
+    from sgam_neurips22_tpu.training.losses import LossConfig
+    from sgam_neurips22_tpu.training.train_step import (
+        TrainConfig,
+        create_train_state,
+        train_step,
+    )
+
+    model = _flagship_configs()
+    model = replace(
+        model,
+        phase=phase,
+        n_embed=2048 if phase == "codebook" else 16384,
+        ddconfig=replace(model.ddconfig, remat=True),
+    )
+    cfg = TrainConfig(model=model, loss=LossConfig(disc_start=0), learning_rate=1e-4)
+    lp = init_lpips(jax.random.PRNGKey(1))
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    bs = 8 if phase == "codebook" else 16
+    if phase == "codebook":
+        batch = {
+            "image": jax.random.uniform(
+                jax.random.PRNGKey(2), (bs, 256, 256, 4), minval=-1, maxval=1
+            )
+        }
+    else:
+        rng = np.random.default_rng(2)
+        n, h, w = 2, 256, 256
+        k = np.array([[355.5555, 0, 128.0], [0, 355.5555, 128.0], [0, 0, 1.0]], np.float32)
+        batch = {
+            "dst_img": jnp.asarray(rng.uniform(-1, 1, (bs, h, w, 3)).astype(np.float32)),
+            "dst_depth": jnp.asarray(rng.uniform(8, 14, (bs, h, w)).astype(np.float32)),
+            "src_imgs": jnp.asarray(rng.uniform(-1, 1, (bs, n, h, w, 3)).astype(np.float32)),
+            "src_depths": jnp.asarray(rng.uniform(8, 14, (bs, n, h, w)).astype(np.float32)),
+            "Ks": jnp.broadcast_to(jnp.asarray(k), (bs, n, 3, 3)),
+            "R_rels": jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (bs, n, 3, 3)),
+            "t_rels": jnp.zeros((bs, n, 3), jnp.float32),
+            "src_masks": jnp.ones((bs, n), jnp.float32),
+        }
+    state, logs = train_step(state, batch, lp, cfg)
+    float(logs["aeloss"])  # compile + settle
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        state, logs = train_step(state, batch, lp, cfg)
+        float(logs["aeloss"])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {
+        "metric": f"train images/sec/chip ({phase} phase, GAN+LPIPS step, bs {bs}, remat)",
+        "value": round(bs / dt, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(bs / dt / NORTH_STAR_FPS, 3),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=100)
@@ -93,11 +159,13 @@ def main() -> None:
                    choices=["bfloat16", "default", "float32", "highest"],
                    help="jax default_matmul_precision for the whole run")
     p.add_argument("--config", default="flythrough",
-                   choices=["flythrough", "vqgan", "step", "integration", "google_earth"],
+                   choices=["flythrough", "vqgan", "step", "integration",
+                            "google_earth", "train_codebook", "train_conditional"],
                    help="BASELINE.json benchmark config: vqgan=#1 roundtrip, "
                         "step=#2 single conditional step (frames=2), "
                         "integration=#3 8-pose RGB-D integration, "
-                        "flythrough=#4 CLEVR unroll, google_earth=#5")
+                        "flythrough=#4 CLEVR unroll, google_earth=#5; "
+                        "train_* = GAN training step throughput")
     args = p.parse_args()
 
     _enable_compilation_cache()
@@ -107,6 +175,12 @@ def main() -> None:
 
     if args.config == "vqgan":
         print(json.dumps(bench_vqgan_roundtrip()))
+        return
+    if args.config.startswith("train_"):
+        phase = {"codebook": "codebook", "conditional": "conditional_generation"}[
+            args.config[len("train_"):]
+        ]
+        print(json.dumps(bench_train(phase)))
         return
     if args.config == "step":
         args.frames, args.per_step = 8, True

@@ -51,6 +51,12 @@ class DDConfig:
     resolution: int = 64
     z_channels: int = 256
     double_z: bool = False
+    # rematerialize each resolution level on the backward pass
+    # (jax.checkpoint): trades ~1 extra forward for O(levels) activation
+    # memory instead of O(layers) — the flagship GAN step OOMs at batch 8
+    # on one v5e without it. No reference counterpart (torch keeps all
+    # activations); numerics are identical.
+    remat: bool = False
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "DDConfig":
@@ -93,19 +99,28 @@ def init_encoder(key, cfg: DDConfig, dtype=jnp.float32) -> Params:
     return p
 
 
+def _maybe_remat(fn, cfg: DDConfig):
+    return jax.checkpoint(fn) if cfg.remat else fn
+
+
 def apply_encoder(p: Params, cfg: DDConfig, x: jnp.ndarray) -> jnp.ndarray:
     """x: [B, H, W, in_channels] -> [B, H/2^k, W/2^k, z_channels]
     (reference Encoder.forward, model.py:405-433)."""
     num_res = len(cfg.ch_mult)
     h = conv2d(x, p["conv_in"])
-    for i_level in range(num_res):
-        level = p["down"][i_level]
+
+    def level_fn(h, level):
         for i_block in range(cfg.num_res_blocks):
             h = resnet_block(h, level["block"][i_block])
             if level["attn"]:
                 h = attn_block(h, level["attn"][i_block])
-        if i_level != num_res - 1:
+        if "downsample" in level:
             h = downsample_conv(h, level["downsample"]["conv"])
+        return h
+
+    level_fn = _maybe_remat(level_fn, cfg)
+    for i_level in range(num_res):
+        h = level_fn(h, p["down"][i_level])
     h = resnet_block(h, p["mid"]["block_1"])
     h = attn_block(h, p["mid"]["attn_1"])
     h = resnet_block(h, p["mid"]["block_2"])
@@ -158,15 +173,20 @@ def apply_decoder_features(p: Params, cfg: DDConfig, z: jnp.ndarray) -> jnp.ndar
     h = resnet_block(h, p["mid"]["block_1"])
     h = attn_block(h, p["mid"]["attn_1"])
     h = resnet_block(h, p["mid"]["block_2"])
-    for i_level in reversed(range(num_res)):
-        level = p["up"][i_level]
+
+    def level_fn(h, level):
         for i_block in range(cfg.num_res_blocks + 1):
             h = resnet_block(h, level["block"][i_block])
             if level["attn"]:
                 h = attn_block(h, level["attn"][i_block])
-        if i_level != 0:
+        if "upsample" in level:
             h = upsample_nearest2x(h)
             h = conv2d(h, level["upsample"]["conv"])
+        return h
+
+    level_fn = _maybe_remat(level_fn, cfg)
+    for i_level in reversed(range(num_res)):
+        h = level_fn(h, p["up"][i_level])
     h = group_norm(h, p["norm_out"])
     return swish(h)
 

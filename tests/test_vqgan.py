@@ -271,3 +271,38 @@ def test_topk_position0_bug_compat_mode():
     flat2 = np.asarray(res2.indices).reshape(16, -1)
     for pos in range(flat2.shape[1]):
         assert np.isin(flat2[:, pos], top3[pos]).all()
+
+
+def test_remat_is_numerically_identical():
+    """ddconfig.remat=True (jax.checkpoint per level) must not change
+    forward values or gradients — it only trades recompute for memory."""
+    from dataclasses import replace
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sgam_neurips22_tpu.models import DDConfig, VQModelConfig, init_vqmodel
+    from sgam_neurips22_tpu.models.vqgan.autoencoder import (
+        apply_decoder,
+        apply_encoder,
+    )
+
+    dd = DDConfig(
+        ch=32, out_ch=4, ch_mult=(1, 2), num_res_blocks=1,
+        attn_resolutions=(8,), resolution=16, z_channels=32, in_channels=4,
+    )
+    cfg = VQModelConfig(ddconfig=dd, n_embed=32, embed_dim=16)
+    params = init_vqmodel(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 4), minval=-1, maxval=1)
+    dd_r = replace(dd, remat=True)
+
+    def loss(p, ddc):
+        h = apply_encoder(p["encoder"], ddc, x)
+        return jnp.sum(apply_decoder(p["decoder"], ddc, h) ** 2)
+
+    v0, g0 = jax.value_and_grad(lambda p: loss(p, dd))(params)
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, dd_r))(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

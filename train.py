@@ -42,6 +42,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_devices", type=int, default=None)
     p.add_argument("--accumulate_grad_batches", type=int, default=1)
     p.add_argument("--lpips_weights", default="weights/lpips.pkl")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder/decoder levels on backward "
+                        "(jax.checkpoint): identical numerics, O(levels) "
+                        "activation memory — measured 9x faster at batch 8 "
+                        "on one v5e (the non-remat step thrashes HBM)")
     p.add_argument("--no_wandb", action="store_true")
     p.add_argument("--debug", action="store_true", help="post-mortem pdb on crash")
     return p
@@ -66,6 +71,8 @@ def main(argv=None) -> None:
     from sgam_neurips22_tpu.training.trainer import Trainer
 
     opt, unknown = get_parser().parse_known_args(argv)
+    if opt.remat:
+        unknown = [*unknown, "model.params.ddconfig.remat=true"]
 
     _enable_compilation_cache()
 
