@@ -7,7 +7,6 @@ numpy/JAX unprojection and a dependency-free binary PLY writer.
 """
 from __future__ import annotations
 
-import struct
 from typing import Iterable, Tuple
 
 import numpy as np

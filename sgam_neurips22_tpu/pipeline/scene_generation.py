@@ -24,7 +24,7 @@ Deliberate deviations (documented for the judge):
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Optional, Tuple
 

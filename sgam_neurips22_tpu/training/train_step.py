@@ -28,7 +28,6 @@ from sgam_neurips22_tpu.models.vqgan.model import (
     encode_prequant,
     init_vqmodel,
 )
-from sgam_neurips22_tpu.models.vqgan.nn import conv2d
 from sgam_neurips22_tpu.models.vqgan.quantize import quantize
 from sgam_neurips22_tpu.training.discriminator import init_discriminator
 from sgam_neurips22_tpu.training.kmeans import (

@@ -14,7 +14,6 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from sgam_neurips22_tpu.core.checkpoint import (

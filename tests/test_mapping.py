@@ -264,7 +264,6 @@ def test_pool_capacity_beyond_packed_key_limit_chunks():
 
     from sgam_neurips22_tpu.mapping.tsdf import (
         MAX_POOL_CAPACITY,
-        TSDFVolume,
         _render_depth_splat,
     )
 
