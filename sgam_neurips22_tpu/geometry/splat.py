@@ -137,6 +137,7 @@ def _zbuffer_scatter(
     h: int,
     w: int,
     collision: str,
+    last_priority: jnp.ndarray | None = None,
 ):
     """Scatter P points into an [H, W] image with explicit collision rules.
 
@@ -145,6 +146,11 @@ def _zbuffer_scatter(
       z: [P] point depths in the target frame.
       feats: [P, C] point features.
       valid: [P] bool.
+      last_priority: optional [P] int32 permutation giving the serial write
+        order for collision='last' (highest priority wins). The reference
+        flattens points PIXEL-MAJOR — `permute(0, 2, 3, 1)` puts the source
+        axis last (warp.py:218), so its serial loop writes point
+        (pixel p, source n) at step p*N + n.
     Returns:
       (depth [H, W, 1], feats_img [H, W, C])
     """
@@ -192,10 +198,17 @@ def _zbuffer_scatter(
         has_point = win_idx != jnp.iinfo(jnp.int32).max
         safe_idx = jnp.where(has_point, win_idx, 0)
     elif collision == "last":
-        idx_key = jnp.where(valid, jnp.arange(z.shape[0], dtype=jnp.int32), -1)
-        win_idx = jnp.full((n_pix,), -1, jnp.int32).at[p].max(idx_key, mode="drop")
-        has_point = win_idx >= 0
-        safe_idx = jnp.where(has_point, win_idx, 0)
+        if last_priority is None:
+            last_priority = jnp.arange(z.shape[0], dtype=jnp.int32)
+        idx_key = jnp.where(valid, last_priority, -1)
+        win_pri = jnp.full((n_pix,), -1, jnp.int32).at[p].max(idx_key, mode="drop")
+        has_point = win_pri >= 0
+        # map the winning priority back to the point index (priorities are a
+        # permutation of point indices)
+        inv = jnp.zeros((z.shape[0],), jnp.int32).at[last_priority].set(
+            jnp.arange(z.shape[0], dtype=jnp.int32)
+        )
+        safe_idx = jnp.where(has_point, inv[jnp.where(has_point, win_pri, 0)], 0)
     else:
         raise ValueError(f"unknown collision mode {collision!r}")
 
@@ -273,9 +286,18 @@ def render_projection_from_srcs(
             pix, zs, feats, valid, h, w
         )
     else:
+        # the reference's serial write order is pixel-major (point (p, n)
+        # writes at step p*N + n; see _zbuffer_scatter docstring): our
+        # flattening is source-major (index n*HW + p), so priority remaps
+        last_priority = None
+        if collision == "last":
+            i = jnp.arange(n * h * w, dtype=jnp.int32)
+            last_priority = (i % (h * w)) * n + i // (h * w)
+
         def splat_one(pix_b, z_b, feats_b, valid_b):
             return _zbuffer_scatter(
-                pix_b[:, 0], pix_b[:, 1], z_b, feats_b, valid_b, h, w, collision
+                pix_b[:, 0], pix_b[:, 1], z_b, feats_b, valid_b, h, w,
+                collision, last_priority,
             )
 
         raw_depth, raw_feats = jax.vmap(splat_one)(pix, zs, feats, valid)

@@ -1,0 +1,160 @@
+"""Direct parity vs the REFERENCE'S OWN torch modules (strongest in-env
+evidence short of the unpublished checkpoints).
+
+Imports Encoder/Decoder/VectorQuantizer2 from the reference checkout at
+/root/reference (plain torch — importable without pytorch_lightning), runs
+them with random weights, exports the state_dict through our converter, and
+requires our JAX model to reproduce the activations. Unlike
+tests/test_block_parity.py (which compares against our torch-functional
+re-expression), this pins parity to the reference implementation itself.
+
+Skipped automatically when the reference checkout is absent.
+"""
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "sgam")),
+    reason="reference checkout not available",
+)
+
+DD = dict(
+    double_z=False, z_channels=32, resolution=32, in_channels=4, out_ch=4,
+    ch=32, ch_mult=[1, 2], num_res_blocks=1, attn_resolutions=[16], dropout=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    from sgam.generative_sensing_module.modules.diffusionmodules.model import (
+        Decoder,
+        Encoder,
+    )
+    from sgam.generative_sensing_module.modules.vqvae.quantize import (
+        VectorQuantizer2,
+    )
+
+    torch.manual_seed(0)
+    enc = Encoder(**DD).eval()
+    dec = Decoder(**DD).eval()
+    vq = VectorQuantizer2(64, 32, beta=0.25).eval()
+    return enc, dec, vq
+
+
+def _to_jax_params(enc, dec, vq):
+    """Reference state_dicts -> our param tree via the production converter."""
+    from sgam_neurips22_tpu.core.torch_convert import convert_state_dict, init_from_ckpt
+    from sgam_neurips22_tpu.models import DDConfig, VQModelConfig, init_vqmodel
+
+    sd = {}
+    for prefix, mod in (("encoder", enc), ("decoder", dec), ("quantize", vq)):
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v.numpy()
+    cfg = VQModelConfig(
+        ddconfig=DDConfig.from_dict(DD), n_embed=64, embed_dim=32,
+        use_extrapolation_mask=False,
+    )
+    model_np, _, _ = convert_state_dict(sd)
+    params = init_vqmodel(jax.random.PRNGKey(1), cfg)
+    params = init_from_ckpt(params, model_np)
+    return params, cfg
+
+
+def test_encoder_matches_reference_exactly(reference_modules):
+    import torch
+
+    enc, dec, vq = reference_modules
+    params, cfg = _to_jax_params(enc, dec, vq)
+    from sgam_neurips22_tpu.models.vqgan.autoencoder import apply_encoder
+
+    x = np.random.default_rng(0).uniform(-1, 1, (2, 32, 32, 4)).astype(np.float32)
+    with torch.no_grad():
+        want = enc(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(apply_encoder(params["encoder"], cfg.ddconfig, x))
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=2e-4)
+
+
+def test_decoder_matches_reference_exactly(reference_modules):
+    import torch
+
+    enc, dec, vq = reference_modules
+    params, cfg = _to_jax_params(enc, dec, vq)
+    from sgam_neurips22_tpu.models.vqgan.autoencoder import apply_decoder
+
+    z = np.random.default_rng(1).normal(size=(2, 16, 16, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = dec(torch.from_numpy(z.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(apply_decoder(params["decoder"], cfg.ddconfig, z))
+    np.testing.assert_allclose(got, want.transpose(0, 2, 3, 1), atol=2e-4)
+
+
+def test_quantizer_matches_reference_exactly(reference_modules):
+    import torch
+
+    enc, dec, vq = reference_modules
+    params, cfg = _to_jax_params(enc, dec, vq)
+    from sgam_neurips22_tpu.models.vqgan.quantize import quantize
+
+    z = np.random.default_rng(2).normal(size=(1, 8, 8, 32)).astype(np.float32)
+    with torch.no_grad():
+        zq_t, loss_t, (_, _, idx_t) = vq(torch.from_numpy(z.transpose(0, 3, 1, 2)))
+    res = quantize(params["quantize"]["embedding"], z, beta=0.25)
+    np.testing.assert_array_equal(
+        np.asarray(res.indices).reshape(-1), idx_t.numpy().reshape(-1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.z_q), zq_t.numpy().transpose(0, 2, 3, 1), atol=1e-6
+    )
+    np.testing.assert_allclose(float(res.loss), float(loss_t), rtol=1e-5)
+
+
+def test_splat_matches_reference_render_projection(reference_modules):
+    """Our forward splat vs the reference's render_projection_from_srcs_fast
+    (collision='last' reproduces its serial scatter order)."""
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    from sgam.point_rendering.warp import render_projection_from_srcs_fast
+
+    from sgam_neurips22_tpu.geometry.splat import render_projection_from_srcs
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    b, n, h, w = 1, 2, 32, 32
+    k = np.array([[20.0, 0, 15.5], [0, 20.0, 15.5], [0, 0, 1]], np.float32)
+    feats = rng.uniform(-1, 1, (b, n, 3, h, w)).astype(np.float32)
+    depths = rng.uniform(3, 6, (b, n, h, w)).astype(np.float32)
+    src2tgt = np.tile(np.eye(4, dtype=np.float32), (b, n, 1, 1))
+    src2tgt[:, 1, 0, 3] = 0.15  # second source shifted
+    with torch.no_grad():
+        merged_d, merged_f, *_ = render_projection_from_srcs_fast(
+            torch.from_numpy(feats),
+            torch.from_numpy(depths),
+            torch.from_numpy(np.tile(k, (b, 1, 1))),
+            torch.from_numpy(np.tile(k, (b * n, 1, 1))),
+            torch.from_numpy(src2tgt.reshape(b * n, 4, 4)),
+            src_num=n,
+            parallel=False,  # the serial scatter = well-defined order
+        )
+    res = render_projection_from_srcs(
+        jnp.asarray(feats.transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(depths),
+        jnp.asarray(k)[None],
+        jnp.broadcast_to(jnp.asarray(k), (b, n, 3, 3)),
+        jnp.asarray(src2tgt),
+        collision="last",
+    )
+    got_d = np.asarray(res.depth)[0, ..., 0]
+    want_d = merged_d.numpy().reshape(h, w)
+    np.testing.assert_allclose(got_d, want_d, atol=1e-5)
+    got_f = np.asarray(res.features)[0]
+    want_f = merged_f.numpy().reshape(3, h, w).transpose(1, 2, 0)
+    np.testing.assert_allclose(got_f, want_f, atol=1e-5)
