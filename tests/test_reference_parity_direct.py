@@ -158,3 +158,89 @@ def test_splat_matches_reference_render_projection(reference_modules):
     got_f = np.asarray(res.features)[0]
     want_f = merged_f.numpy().reshape(3, h, w).transpose(1, 2, 0)
     np.testing.assert_allclose(got_f, want_f, atol=1e-5)
+
+
+def test_geometry_matches_reference_warp_functions():
+    """pixel2cam / cam2pixel / inverse_warp vs the reference's own torch
+    implementations (sgam/point_rendering/warp.py:28-191)."""
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    from sgam.point_rendering import warp as ref_warp
+
+    import jax.numpy as jnp
+
+    from sgam_neurips22_tpu.geometry.camera import cam2pixel, pixel2cam
+    from sgam_neurips22_tpu.geometry.warp import inverse_warp
+
+    rng = np.random.default_rng(4)
+    b, h, w = 2, 24, 24
+    k = np.array([[15.0, 0, 11.5], [0, 15.0, 11.5], [0, 0, 1]], np.float32)
+    ks = np.tile(k, (b, 1, 1))
+    depth = rng.uniform(3, 6, (b, h, w)).astype(np.float32)
+
+    with torch.no_grad():
+        pc_t = ref_warp.pixel2cam(
+            torch.from_numpy(depth), torch.from_numpy(np.linalg.inv(ks).astype(np.float32))
+        ).numpy()
+    pc = np.asarray(pixel2cam(jnp.asarray(depth), jnp.asarray(np.linalg.inv(ks))))
+    np.testing.assert_allclose(pc, pc_t.transpose(0, 2, 3, 1), atol=1e-4)
+
+    # shift in BOTH axes: with y-translation 0, the top image row projects
+    # to normalized y == -1.0 exactly, and the reference's `<= 1` validity
+    # test flips on 1-ulp accumulation-order differences (it is equally
+    # knife-edged between the reference's own CPU and CUDA paths)
+    pose = np.tile(np.eye(4, dtype=np.float32)[:3], (b, 1, 1))
+    pose[:, 0, 3] = 0.2
+    pose[:, 1, 3] = 0.07
+    proj = ks @ pose
+    with torch.no_grad():
+        coords_t, z_t = ref_warp.cam2pixel(
+            torch.from_numpy(pc_t),
+            torch.from_numpy(proj[..., :3].copy()),
+            torch.from_numpy(proj[..., 3:].copy()),
+        )
+    coords, z = cam2pixel(jnp.asarray(pc), jnp.asarray(proj[..., :3]), jnp.asarray(proj[..., 3]))
+    np.testing.assert_allclose(np.asarray(coords), coords_t.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), z_t.numpy(), atol=1e-5)
+
+    src_img = rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32)
+    src_depth = rng.uniform(3, 6, (b, h, w)).astype(np.float32)
+    with torch.no_grad():
+        warped_t, valid_t = ref_warp.inverse_warp(
+            torch.from_numpy(src_img.transpose(0, 3, 1, 2)),
+            torch.from_numpy(depth),
+            torch.from_numpy(src_depth),
+            torch.from_numpy(pose),
+            torch.from_numpy(ks),
+            torch.from_numpy(ks),
+        )
+    warped, valid = inverse_warp(
+        jnp.asarray(src_img), jnp.asarray(depth), jnp.asarray(src_depth),
+        jnp.asarray(pose), jnp.asarray(ks), jnp.asarray(ks),
+    )
+    np.testing.assert_allclose(
+        np.asarray(warped), warped_t.numpy().transpose(0, 2, 3, 1), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(valid)[..., 0], valid_t.numpy()[:, 0].astype(bool)
+    )
+
+
+def test_median_blur_matches_reference():
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    from sgam.point_rendering.warp import median_blur as ref_median
+
+    import jax.numpy as jnp
+
+    from sgam_neurips22_tpu.geometry.splat import median_blur_3x3
+
+    rng = np.random.default_rng(5)
+    # tie-heavy integer data exercises the lower-median tie-breaking
+    x = rng.integers(0, 3, (2, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref_median(torch.from_numpy(x.transpose(0, 3, 1, 2)), (3, 3)).numpy()
+    got = np.asarray(median_blur_3x3(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, want.transpose(0, 2, 3, 1))
