@@ -244,3 +244,60 @@ def test_median_blur_matches_reference():
         want = ref_median(torch.from_numpy(x.transpose(0, 3, 1, 2)), (3, 3)).numpy()
     got = np.asarray(median_blur_3x3(jnp.asarray(x)))
     np.testing.assert_array_equal(got, want.transpose(0, 2, 3, 1))
+
+
+def test_clevr_pair_dataset_matches_reference(tmp_path):
+    """Our CLEVR pair dataset vs the reference's Blender3dBase on a
+    synthetic scene: same graph edges, same deterministic val-split source
+    picks, same relative transforms / ray->z depths / normalizations
+    (reference data/clevr-infinite.py:28-172)."""
+    import importlib
+    import json
+
+    from PIL import Image
+
+    sys.path.insert(0, REFERENCE)
+    ref_mod = importlib.import_module("data.clevr-infinite")
+
+    from sgam_neurips22_tpu.training.data.pair_dataset import ClevrInfinitePairs
+
+    rng = np.random.default_rng(6)
+    h = w = 64
+    root = tmp_path / "ds"
+    scene = root / "validation" / "scene_000"
+    os.makedirs(scene)
+    os.makedirs(root / "cache")
+    k = np.array([[40.0, 0, (w - 1) / 2], [0, 40.0, (h - 1) / 2], [0, 0, 1.0]])
+    np.save(root / "K.npy", k)
+    frames = []
+    for i in range(6):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [i * 1.4, 0.3 * (i % 2), 4.0]  # some pairs beyond radius 3
+        frames.append({"transform_matrix": c2w.tolist()})
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        Image.fromarray(img).save(scene / f"im_{i:05d}.png")
+        np.save(scene / f"dm_{i:05d}.npy", rng.uniform(3, 7, (h, w)).astype(np.float32))
+    (scene / "transforms.json").write_text(json.dumps({"frames": frames}))
+
+    ref_ds = ref_mod.Blender3dBase(
+        split="validation", dataset_dir=str(root), n_src=2,
+        dataset="clevr-infinite", image_resolution=(h, w),
+    )
+    ours = ClevrInfinitePairs(
+        split="validation", dataset_dir=str(root), n_src=2,
+        image_resolution=(h, w), use_cache=False,
+    )
+    assert len(ref_ds) == len(ours) == 6
+    for idx in range(6):
+        want = ref_ds[idx]
+        got = ours[idx]
+        np.testing.assert_allclose(got["Ks"], want["Ks"], atol=1e-5, err_msg=f"idx {idx}")
+        np.testing.assert_allclose(got["R_rels"], want["R_rels"], atol=1e-6)
+        np.testing.assert_allclose(got["t_rels"], want["t_rels"], atol=1e-6)
+        np.testing.assert_allclose(got["dst_img"], want["dst_img"], atol=1e-6)
+        np.testing.assert_allclose(got["src_imgs"], want["src_imgs"], atol=1e-6)
+        np.testing.assert_allclose(got["dst_depth"], want["dst_depth"][..., 0], atol=1e-4)
+        np.testing.assert_allclose(
+            got["src_depths"], want["src_depths"][..., 0], atol=1e-4
+        )
+        np.testing.assert_array_equal(got["src_masks"], want["src_masks"])
