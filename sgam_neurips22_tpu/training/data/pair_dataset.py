@@ -162,13 +162,20 @@ class PairDatasetBase:
                 return gi, sorted(self.graphs[gi].nodes)[rel]
         raise IndexError(idx)
 
-    def _load_depth(self, path: str) -> np.ndarray:
+    def _load_depth(self, path: str, is_dst: bool = False) -> np.ndarray:
         d = load_depth(path, self.image_resolution)
-        if self.depth_sentinel is not None:
-            d[d == self.depth_sentinel] = -99999.0  # reference google_earth.py:174
+        if self.depth_sentinel is not None and not is_dst:
+            # the reference replaces the 65504 sentinel in SOURCE depths only
+            # (google_earth.py:174-183); the target keeps it, and
+            # tgt_pixel_mask marks those pixels instead
+            d[d == self.depth_sentinel] = -99999.0
         if self.depth_is_ray:
             d = ray_to_z_np(d, self.K)
         return d.astype(np.float32)
+
+    def _extras(self, tgt, srcs, dm_dst) -> dict:
+        """Dataset-specific extra batch keys (reference google_earth.py:196-209)."""
+        return {}
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None) -> dict:
         gi, key = self._locate(idx)
@@ -188,7 +195,7 @@ class PairDatasetBase:
         srcs = [g.nodes[k] for k in src_keys]
 
         img_dst = load_rgb(tgt["rgb_path"], self.image_resolution)
-        dm_dst = self._load_depth(tgt["depth_path"])
+        dm_dst = self._load_depth(tgt["depth_path"], is_dst=True)
         img_srcs = [load_rgb(s["rgb_path"], self.image_resolution) for s in srcs]
         dm_srcs = [self._load_depth(s["depth_path"]) for s in srcs]
 
@@ -224,6 +231,7 @@ class PairDatasetBase:
             "src_depths": np.stack(dm_srcs),
             "src_masks": mask,
         }
+        out.update(self._extras(tgt, srcs, dm_dst))
         return {k: v.astype(np.float32) for k, v in out.items()}
 
     def _scaled_k(self, hw) -> np.ndarray:
@@ -258,3 +266,13 @@ class GoogleEarthPairs(PairDatasetBase):
     require_valid = True
     drop_isolated = True
     depth_sentinel = 65504.0
+
+    def _extras(self, tgt, srcs, dm_dst) -> dict:
+        # reference google_earth.py:196-209: frame ids (-1 padding) and the
+        # target validity mask over the UNREPLACED sentinel
+        ids = [s["frame_id"] for s in srcs] + [-1] * (self.n_src - len(srcs))
+        return {
+            "tgt_frame_id": np.array([tgt["frame_id"]], np.float32),
+            "src_frame_ids": np.asarray(ids, np.float32),
+            "tgt_pixel_mask": (dm_dst != self.depth_sentinel)[None].astype(np.float32),
+        }

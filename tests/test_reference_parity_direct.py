@@ -301,3 +301,84 @@ def test_clevr_pair_dataset_matches_reference(tmp_path):
             got["src_depths"], want["src_depths"][..., 0], atol=1e-4
         )
         np.testing.assert_array_equal(got["src_masks"], want["src_masks"])
+
+
+def test_google_earth_pair_dataset_matches_reference(tmp_path):
+    """Our GoogleEarth pair dataset vs the reference's GoogleEarthBase:
+    is_valid gating, frame_id%4 rotation-variant edges within 0.3, isolated
+    node dropping, the 65504 sentinel handling (sources replaced, target
+    kept + tgt_pixel_mask), and the extra batch keys
+    (reference data/google_earth.py:30-215)."""
+    import importlib
+    import json
+
+    from PIL import Image
+
+    sys.path.insert(0, REFERENCE)
+    ref_mod = importlib.import_module("data.google_earth")
+
+    from sgam_neurips22_tpu.training.data.pair_dataset import GoogleEarthPairs
+
+    rng = np.random.default_rng(7)
+    h = w = 64
+    root = tmp_path / "ge"
+    scene = root / "validation" / "scene_000"
+    os.makedirs(scene)
+    os.makedirs(root / "cache")
+    k512 = np.array([[497.77774, 0, 256.0], [0, 497.77774, 256.0], [0, 0, 1.0]])
+    np.save(root / "K.npy", k512)
+    frames = []
+    # 2 grid points x 4 rotation variants 0.1 apart (edges within same %4),
+    # + 1 invalid frame + 1 isolated valid frame (dropped)
+    positions = [(0.0, 0.0)] * 4 + [(0.1, 0.0)] * 4 + [(0.05, 0.05), (9.0, 9.0)]
+    valid = [True] * 8 + [False, True]
+    for i, ((px, py), v) in enumerate(zip(positions, valid)):
+        c2w = np.eye(4)
+        c2w[:3, 3] = [px, py, 2.0]
+        frames.append(
+            {
+                "transform_matrix": c2w.tolist(),
+                "is_valid": v,
+                "file_path": f"./validation/scene_000/im_{i:05d}.png",
+            }
+        )
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        Image.fromarray(img).save(scene / f"im_{i:05d}.png")
+        dm = rng.uniform(1, 4, (h, w)).astype(np.float32)
+        dm[:4, :4] = 65504.0  # sentinel patch
+        np.save(scene / f"dm_{i:05d}.npy", dm)
+    (scene / "transforms.json").write_text(json.dumps({"frames": frames}))
+
+    ref_ds = ref_mod.GoogleEarthBase(
+        split="validation", dataset_dir=str(root), n_src=2,
+        dataset="google_earth", image_resolution=(h, w),
+    )
+    ours = GoogleEarthPairs(
+        split="validation", dataset_dir=str(root), n_src=2,
+        image_resolution=(h, w), use_cache=False,
+    )
+    # 8 connected valid frames (invalid + isolated dropped)
+    assert len(ref_ds) == len(ours) == 8
+    for idx in range(8):
+        want = ref_ds[idx]
+        got = ours[idx]
+        # documented deviation: the reference's src_masks is ALWAYS all-ones
+        # (`mask[:src_num] = 1` with src_num = self.src_num in both branches,
+        # google_earth.py:186-188) and is never consumed by its splat — ours
+        # marks the REAL sources so padded zero-frames are excluded
+        assert (want["src_masks"] == 1).all()
+        n_real = int((got["src_frame_ids"] >= 0).sum())
+        np.testing.assert_array_equal(
+            got["src_masks"], (np.arange(2) < n_real).astype(np.float32)
+        )
+        for key in ("Ks", "R_rels", "t_rels",
+                    "tgt_frame_id", "src_frame_ids", "tgt_pixel_mask"):
+            np.testing.assert_allclose(
+                got[key],
+                want[key][0] if key == "tgt_pixel_mask" and want[key].ndim != got[key].ndim else want[key],
+                atol=1e-5, err_msg=f"{key} idx {idx}",
+            )
+        np.testing.assert_allclose(got["dst_img"], want["dst_img"], atol=1e-6)
+        np.testing.assert_allclose(got["src_imgs"], want["src_imgs"], atol=1e-6)
+        np.testing.assert_allclose(got["dst_depth"], want["dst_depth"][..., 0], atol=1e-4)
+        np.testing.assert_allclose(got["src_depths"], want["src_depths"][..., 0], atol=1e-4)
