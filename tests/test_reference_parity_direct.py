@@ -382,3 +382,44 @@ def test_google_earth_pair_dataset_matches_reference(tmp_path):
         np.testing.assert_allclose(got["src_imgs"], want["src_imgs"], atol=1e-6)
         np.testing.assert_allclose(got["dst_depth"], want["dst_depth"][..., 0], atol=1e-4)
         np.testing.assert_allclose(got["src_depths"], want["src_depths"][..., 0], atol=1e-4)
+
+
+def test_shipped_lpips_lin_heads_convert():
+    """The reference SHIPS its LPIPS linear heads
+    (modules/autoencoder/lpips/vgg.pth, loaded at lpips.py:27-30); our
+    converter must ingest the real artifact (the VGG16 backbone still needs
+    torchvision's download, but the heads are the reference-trained part)."""
+    import torch
+
+    path = os.path.join(
+        REFERENCE, "sgam/generative_sensing_module/modules/autoencoder/lpips/vgg.pth"
+    )
+    if not os.path.exists(path):
+        pytest.skip("vgg.pth not shipped in this checkout")
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    sd = {k: v for k, v in sd.items() if "lin" in k}
+
+    from sgam_neurips22_tpu.training.lpips import (
+        LPIPS_CHANNELS,
+        VGG16_CONVS,
+        convert_torch_lpips,
+        init_lpips,
+    )
+
+    # convert the real heads onto a random backbone (torchvision's VGG16
+    # weights are the only missing piece in this environment)
+    params = init_lpips(jax.random.PRNGKey(0))
+    vgg_np = {}
+    for (idx, _, _), w in zip(VGG16_CONVS, params["convs"]):
+        vgg_np[f"{idx}.weight"] = np.asarray(w["weight"]).transpose(3, 2, 0, 1)
+        vgg_np[f"{idx}.bias"] = np.zeros(np.asarray(w["weight"]).shape[-1], np.float32)
+    converted = convert_torch_lpips(
+        vgg_np, {k: v.numpy() for k, v in sd.items()}
+    )
+    # the real reference-trained head weights came through
+    for i, c in enumerate(LPIPS_CHANNELS):
+        w = np.asarray(converted["lins"][i]["weight"])
+        assert w.shape == (1, 1, c, 1)
+        ref = sd[f"lin{i}.model.1.weight"].numpy().reshape(-1)
+        np.testing.assert_allclose(w.reshape(-1), ref, atol=1e-7)
+        assert (ref >= 0).all()  # LPIPS heads are non-negative by training
