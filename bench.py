@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -223,12 +224,26 @@ def main() -> None:
         topk=1,
         use_rgbd_integration=args.rgbd_integration,
     )
+    # use the reference's real seed template when its checkout is present
+    # (realistic depth statistics for the map/pool); random fallback
+    template_dir = f"/root/reference/templates/{dataset}"
+    seeds = None
+    if os.path.isdir(template_dir):
+        try:
+            from generate import load_seed_frames
+
+            seeds = load_seed_frames(template_dir, dataset, 0, (256, 256))
+            seeds = [seeds[0]] if dataset == "clevr-infinite" else seeds
+            seeds = [((0, 0), seeds[0][1], seeds[0][2])]
+            print(f"# seeding from {template_dir}", flush=True)
+        except Exception as e:
+            print(f"# template load failed ({e}); using a random seed", flush=True)
     rng = np.random.default_rng(0)
-    seed_rgb = rng.uniform(-1, 1, (256, 256, 3)).astype(np.float32)
-    seed_depth = rng.uniform(depth_lo, depth_hi, (256, 256)).astype(np.float32)
-    gen = InfiniteSceneGeneration(
-        params, model_cfg, cfg, seeds=[((0, 0), seed_rgb, seed_depth)]
-    )
+    if seeds is None:
+        seed_rgb = rng.uniform(-1, 1, (256, 256, 3)).astype(np.float32)
+        seed_depth = rng.uniform(depth_lo, depth_hi, (256, 256)).astype(np.float32)
+        seeds = [((0, 0), seed_rgb, seed_depth)]
+    gen = InfiniteSceneGeneration(params, model_cfg, cfg, seeds=seeds)
     n_frames = gen.grid.size - 1
     fused = not args.per_step
 
