@@ -155,6 +155,8 @@ def main() -> None:
     p.add_argument("--per_step", action="store_true")
     p.add_argument("--batch_scenes", type=int, default=0,
                    help="throughput mode: unroll N scenes concurrently")
+    p.add_argument("--tsdf_stride", type=int, default=1,
+                   help="map-requery: fuse every s-th ray (1 = exact/reference)")
     p.add_argument("--profile", default=None)
     p.add_argument("--matmul_precision", default=None,
                    choices=["bfloat16", "default", "float32", "highest"],
@@ -223,6 +225,7 @@ def main() -> None:
         output_dim=(rows, cols),
         topk=1,
         use_rgbd_integration=args.rgbd_integration,
+        tsdf_integrate_stride=args.tsdf_stride,
     )
     # use the reference's real seed template when its checkout is present
     # (realistic depth statistics for the map/pool); random fallback
@@ -265,9 +268,10 @@ def main() -> None:
             return (time.perf_counter() - t0) / s
 
     else:
-        # XLA-counted FLOPs of the whole-scene program (for the MFU line);
-        # must lower from the pristine state BEFORE the warm-up run consumes
-        # the plan (build_plan walks the not-yet-visited order)
+        # XLA-counted FLOPs per generation step, for the MFU line. The
+        # fused unroll is a fori_loop whose body XLA's cost analysis counts
+        # ONCE (not x trip count), so lower the equivalent SINGLE-step
+        # program and multiply by the frame count instead.
         total_flops = 0.0
         if fused:
             try:
@@ -275,19 +279,30 @@ def main() -> None:
                 ks = jax.numpy.asarray(
                     np.tile(gen.grid.K.astype(np.float32), (cfg.effective_num_src, 1, 1))
                 )
+                rng0 = jax.random.PRNGKey(3)
                 # .lower() on the jit-wrapped method does not apply the
                 # instance binding — pass the (static) self explicitly
                 if args.rgbd_integration:
-                    lowered = type(gen)._fused_unroll_tsdf.lower(
+                    step_lowered = type(gen)._map_requery_step.lower(
                         gen, gen.params, gen.rgb_buf, gen.depth_buf, gen.volume,
-                        plan, ks, jax.random.PRNGKey(3),
+                        plan["src_idx"][0], plan["src_mask"][0],
+                        plan["tgt_w2c"][0], plan["t_tgt2srcs"][0], ks, rng0,
+                    )
+                    fuse_lowered = type(gen)._integrate_jit.lower(
+                        gen, gen.volume, gen.depth_buf[0], gen.rgb_buf[0],
+                        ks[0], plan["tgt_w2c"][0],
+                    )
+                    step_flops = _cost_flops(step_lowered.compile()) + _cost_flops(
+                        fuse_lowered.compile()
                     )
                 else:
-                    lowered = type(gen)._fused_unroll.lower(
+                    step_lowered = type(gen)._splat_step.lower(
                         gen, gen.params, gen.rgb_buf, gen.depth_buf,
-                        plan, ks, jax.random.PRNGKey(3),
+                        plan["src_idx"][0], plan["src_mask"][0],
+                        plan["r_rels"][0], plan["t_rels"][0], ks, rng0,
                     )
-                total_flops = _cost_flops(lowered.compile())
+                    step_flops = _cost_flops(step_lowered.compile())
+                total_flops = step_flops * n_frames
             except Exception as e:
                 print(f"# cost analysis unavailable: {e}", flush=True)
 
@@ -314,6 +329,8 @@ def main() -> None:
 
     fps = n_frames / dt
     mode = "map-requery" if args.rgbd_integration else "splat"
+    if args.rgbd_integration and args.tsdf_stride != 1:
+        mode += f", stride {args.tsdf_stride}"
     if args.batch_scenes:
         mode += f", {args.batch_scenes} scenes batched"
     record = {

@@ -55,6 +55,9 @@ class TSDFConfig:
     depth_trunc: float = 20.0  # ignore depth beyond (reference :776 depth_trunc=20)
     band_voxels: Optional[int] = None  # band half-width in voxels (None = auto)
     pool_capacity: int = 1 << 19  # surface-voxel pool slots (<= 2^20)
+    # integrate every s-th ray (1 = all pixels, the reference behavior); the
+    # band scatter is the fusion cost and scales 1/s^2 — see integrate()
+    integrate_stride: int = 1
 
     def __post_init__(self):
         if int(np.prod(self.dims)) >= 2**31:
@@ -81,6 +84,12 @@ class TSDFVolume:
     pool_ids: jnp.ndarray  # [P] int32 linear voxel ids (surface voxels)
     pool_count: jnp.ndarray  # [] int32
     stats: jnp.ndarray  # [3] f32: (valid depth samples, fused samples, pool drops)
+    # persistent in-frame dedup grid: each integrate() writes generation-keyed
+    # entries (frame << pos_bits | reversed pixel pos) via ONE scatter-max, so
+    # no per-frame O(volume) memset is needed (a fresh 30M-int32 claim grid
+    # cost ~0.8 ms/frame); stale keys from earlier frames always lose the max
+    frame: jnp.ndarray  # [] int32 frames integrated so far
+    claim: jnp.ndarray  # [X*Y*Z] int32 generation-keyed claim entries
 
     @property
     def tsdf(self) -> jnp.ndarray:
@@ -102,6 +111,8 @@ def create_volume(cfg: TSDFConfig) -> TSDFVolume:
         pool_ids=jnp.zeros(cfg.pool_capacity, jnp.int32),
         pool_count=jnp.zeros((), jnp.int32),
         stats=jnp.zeros(3, jnp.float32),
+        frame=jnp.zeros((), jnp.int32),
+        claim=jnp.zeros(x * y * z, jnp.int32),
     )
 
 
@@ -115,6 +126,7 @@ def auto_config(
     mem_cap_bytes: float = 6e9,
     pool_capacity: Optional[int] = None,
     band_voxels: Optional[int] = None,
+    integrate_stride: int = 1,
     verbose: bool = True,
 ) -> TSDFConfig:
     """Size/place the volume from the trajectory ∪ viewing-frustum hull.
@@ -157,7 +169,7 @@ def auto_config(
     while True:
         dims = np.maximum(np.ceil((hi_b - lo_b) / vox).astype(int), 4)
         n_vox = int(np.prod(dims))
-        # grid f32 + flags u8 + transient claim grid i32 (integrate dedup)
+        # grid f32 + flags u8 + persistent claim grid i32 (integrate dedup)
         mem = n_vox * (4 + 1 + 4)
         if mem <= mem_cap_bytes and n_vox < 2**31:
             break
@@ -170,10 +182,13 @@ def auto_config(
             f"{mem_cap_bytes / 1e9:.1f} GB"
         )
     if pool_capacity is None:
+        # 6 voxels per cell of the largest volume face: room for one surface
+        # crossing per column plus slack for noisy / multi-layer geometry
+        # (4x overflowed by ~5% on the CLEVR template bench scene)
         faces = (
             dims[0] * dims[1], dims[0] * dims[2], dims[1] * dims[2],
         )
-        pool_capacity = int(np.clip(4 * max(faces), 1 << 16, MAX_POOL_CAPACITY))
+        pool_capacity = int(np.clip(6 * max(faces), 1 << 16, MAX_POOL_CAPACITY))
     return TSDFConfig(
         dims=tuple(int(d) for d in dims),
         voxel_size=vox,
@@ -181,6 +196,7 @@ def auto_config(
         origin=tuple(float(v) for v in lo_b),
         band_voxels=band_voxels,
         pool_capacity=pool_capacity,
+        integrate_stride=integrate_stride,
     )
 
 
@@ -227,8 +243,16 @@ def integrate(
     band = cfg.band
     k2 = 2 * band
     dims = cfg.dims
-    n_vox = dims[0] * dims[1] * dims[2]
     cam_center, dirs_world = _camera_rays(intrinsics, extrinsic, h, w)
+    s = cfg.integrate_stride
+    if s > 1:
+        # ray subsampling: the scatter-add is the integrate cost (O(rays x
+        # band) at ~9 ns/sample); when the voxel footprint spans >= s pixels
+        # (both reference datasets: ~1.8-2.5 px at working depth), stride-s
+        # rays still touch every band voxel. Pixel centers stay at their
+        # original positions.
+        depth = depth[::s, ::s]
+        dirs_world = dirs_world[::s, ::s]
 
     valid = (depth > 0) & (depth < cfg.depth_trunc)
     # sample offsets in z: +-(0.5, 1.5, ..., band-0.5) voxels around the surface
@@ -264,15 +288,21 @@ def integrate(
     # front of the measured depth; the splat renderer's refinement step
     # recovers the sub-voxel crossing from the band field around it).
     # Exact in-frame dedup WITHOUT a sort (1M-element sort measured ~28 ms on
-    # v5e): scatter-min each candidate's batch position into a transient
-    # claim grid; a candidate is the voxel's winner iff it reads itself back.
-    cand = lin[..., band - 1].reshape(-1)  # [H*W]
+    # v5e) and WITHOUT a per-frame O(volume) memset: scatter-MAX a
+    # generation-keyed entry (frame << pos_bits | reversed pixel position)
+    # into the persistent claim grid; entries from earlier frames always
+    # lose, and a candidate is this frame's winner iff it reads itself back
+    # (ties broken toward the smallest pixel position, as before).
+    cand = lin[..., band - 1].reshape(-1)  # [H*W / s^2]
     cand_ok = ok[..., band - 1].reshape(-1)
-    imax = jnp.iinfo(jnp.int32).max
+    pos_bits = max(1, (cand.shape[0] - 1).bit_length())
+    # int32 headroom: supports (2^(31-pos_bits) - 1) integrate() calls per
+    # volume (32767 frames at 256^2 rays) — far beyond any reference scene
+    pmask = (1 << pos_bits) - 1
     pos = jnp.arange(cand.shape[0], dtype=jnp.int32)
-    claim = jnp.full((n_vox,), imax, jnp.int32)
-    claim = claim.at[cand].min(jnp.where(cand_ok, pos, imax))
-    first = cand_ok & (claim[cand] == pos)
+    own = ((vol.frame + 1) << pos_bits) | (pmask - pos)
+    claim = vol.claim.at[cand].max(jnp.where(cand_ok, own, 0))
+    first = cand_ok & (claim[cand] == own)
     new = first & (vol.flags[cand] == 0)
     slots = vol.pool_count + jnp.cumsum(new.astype(jnp.int32)) - 1
     fits = new & (slots < cfg.pool_capacity)
@@ -289,6 +319,8 @@ def integrate(
         pool_ids=pool_ids,
         pool_count=vol.pool_count + n_added,
         stats=vol.stats + jnp.stack([n_valid, n_fused, n_dropped]),
+        frame=vol.frame + 1,
+        claim=claim,
     )
 
 

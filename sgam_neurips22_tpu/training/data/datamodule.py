@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, Optional
 
 import numpy as np
@@ -30,10 +31,17 @@ PAIR_DATASETS = {
 
 
 class Loader:
-    """Shuffling batcher with background prefetch.
+    """Shuffling batcher with background prefetch + parallel example decode.
 
     drop_last is always on for train (static shapes keep XLA happy); val
     mirrors the reference's drop_last=True (data/utils/utils.py:299-311).
+
+    Examples within a batch are decoded on a thread pool (PIL/numpy release
+    the GIL, so image decode + resize parallelize) — the TPU-side equivalent
+    of the reference's torch DataLoader worker processes, without the fork
+    overhead. Per-example RNGs are spawned from the epoch generator so
+    stochastic datasets (pair-dataset source sampling) stay deterministic
+    regardless of thread scheduling.
     """
 
     def __init__(
@@ -43,6 +51,7 @@ class Loader:
         shuffle: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        workers: int = 8,
         device_put: Optional[Callable[[Dict[str, np.ndarray]], Any]] = None,
     ):
         self.dataset = dataset
@@ -50,6 +59,7 @@ class Loader:
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
+        self.workers = max(1, workers)
         self.device_put = device_put
         self._epoch = 0
 
@@ -62,13 +72,19 @@ class Loader:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
         return idx
 
-    def _assemble(self, idxs, rng) -> Dict[str, np.ndarray]:
-        examples = []
-        for i in idxs:
+    def _assemble(self, idxs, rng, pool) -> Dict[str, np.ndarray]:
+        rngs = rng.spawn(len(idxs))
+
+        def get_one(i, r):
             try:
-                examples.append(self.dataset.__getitem__(int(i), rng=rng))
+                return self.dataset.__getitem__(int(i), rng=r)
             except TypeError:
-                examples.append(self.dataset[int(i)])
+                return self.dataset[int(i)]
+
+        if pool is None:
+            examples = [get_one(i, r) for i, r in zip(idxs, rngs)]
+        else:
+            examples = list(pool.map(get_one, idxs, rngs))
         return {
             k: np.stack([e[k] for e in examples]) for k in examples[0]
         }
@@ -82,12 +98,18 @@ class Loader:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        pool = (
+            ThreadPoolExecutor(self.workers, thread_name_prefix="loader")
+            if self.workers > 1
+            else None
+        )
 
         def produce():
             try:
                 for b in range(n):
                     batch = self._assemble(
-                        idx[b * self.batch_size : (b + 1) * self.batch_size], rng
+                        idx[b * self.batch_size : (b + 1) * self.batch_size],
+                        rng, pool,
                     )
                     if self.device_put is not None:
                         batch = self.device_put(batch)
@@ -98,13 +120,17 @@ class Loader:
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 @register(

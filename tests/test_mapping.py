@@ -290,3 +290,50 @@ def test_pool_capacity_beyond_packed_key_limit_chunks():
     center = r[16:32, 16:32]
     assert (center > 0).all()
     np.testing.assert_allclose(center, 3.0, atol=0.08)
+
+
+def test_persistent_claim_dedup_exact_across_frames():
+    """The generation-keyed claim grid must dedup pool inserts exactly in
+    every frame, with stale claims from earlier frames never blocking or
+    corrupting later winners: fuse walls at different depths (disjoint voxel
+    sets) and check pool_count equals the brute-force unique-voxel count."""
+    vol = create_volume(CFG)
+    seen = set()
+    for i, depth_val in enumerate((3.0, 3.0, 2.4, 3.6)):
+        depth, rgb = flat_wall_frame(depth_val)
+        vol = integrate(vol, CFG, depth, rgb, K, jnp.eye(4))
+        assert int(vol.frame) == i + 1
+        # brute-force: voxel of the band-front sample per pixel
+        pix = np.stack(np.meshgrid(np.arange(W), np.arange(H)), -1).reshape(-1, 2)
+        rays = np.concatenate([pix + 0.0, np.ones((H * W, 1))], 1) @ np.linalg.inv(
+            np.asarray(K)
+        ).T
+        z = depth_val - 0.5 * CFG.voxel_size
+        pts = rays * z
+        g = np.floor((pts - np.asarray(CFG.origin)) / CFG.voxel_size).astype(int)
+        inb = ((g >= 0) & (g < np.asarray(CFG.dims))).all(1)
+        lin = (g[:, 0] * CFG.dims[1] + g[:, 1]) * CFG.dims[2] + g[:, 2]
+        seen.update(lin[inb].tolist())
+        assert int(vol.pool_count) == len(seen), f"frame {i}"
+    # every pool entry is unique
+    ids = np.asarray(vol.pool_ids)[: int(vol.pool_count)]
+    assert len(np.unique(ids)) == len(ids)
+
+
+def test_integrate_stride_renders_like_full_res():
+    """stride-2 fusion must reproduce the stride-1 rendered depth when the
+    voxel footprint covers the skipped rays (flat wall: footprint >> 1 px)."""
+    from dataclasses import replace
+
+    depth, rgb = flat_wall_frame(3.0)
+    ext = jnp.eye(4)
+    rendered = {}
+    for s in (1, 2):
+        cfg = replace(CFG, integrate_stride=s)
+        vol = integrate(create_volume(cfg), cfg, depth, rgb, K, ext)
+        rendered[s] = np.asarray(
+            render_depth(vol, cfg, K, ext, (H, W), near=1.0, far=5.0)
+        )
+    c1, c2 = rendered[1][8:40, 8:40], rendered[2][8:40, 8:40]
+    assert (c2 > 0).all(), "stride-2 map must still cover the wall"
+    np.testing.assert_allclose(c2, c1, atol=0.05)
