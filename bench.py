@@ -82,7 +82,7 @@ def bench_vqgan_roundtrip() -> dict:
     }
 
 
-def bench_train(phase: str) -> dict:
+def bench_train(phase: str, bs_override: int = 0, dtype: str = "float32") -> dict:
     """Training throughput: the full two-optimizer GAN step (L1 + LPIPS +
     adaptive-weight GAN + codebook loss) on the flagship model with
     level-remat, reference batch sizes (codebook bs 8; conditional bs 16
@@ -105,12 +105,12 @@ def bench_train(phase: str) -> dict:
         model,
         phase=phase,
         n_embed=2048 if phase == "codebook" else 16384,
-        ddconfig=replace(model.ddconfig, remat=True),
+        ddconfig=replace(model.ddconfig, remat=True, compute_dtype=dtype),
     )
     cfg = TrainConfig(model=model, loss=LossConfig(disc_start=0), learning_rate=1e-4)
     lp = init_lpips(jax.random.PRNGKey(1))
     state = create_train_state(jax.random.PRNGKey(0), cfg)
-    bs = 8 if phase == "codebook" else 16
+    bs = bs_override or (8 if phase == "codebook" else 16)
     if phase == "codebook":
         batch = {
             "image": jax.random.uniform(
@@ -131,6 +131,11 @@ def bench_train(phase: str) -> dict:
             "t_rels": jnp.zeros((bs, n, 3), jnp.float32),
             "src_masks": jnp.ones((bs, n), jnp.float32),
         }
+    flops = 0.0
+    try:  # train_step is already jitted (donating state) — lower directly
+        flops = _cost_flops(train_step.lower(state, batch, lp, cfg).compile())
+    except Exception as e:
+        print(f"# cost analysis unavailable: {e}", flush=True)
     state, logs = train_step(state, batch, lp, cfg)
     float(logs["aeloss"])  # compile + settle
     times = []
@@ -140,12 +145,17 @@ def bench_train(phase: str) -> dict:
         float(logs["aeloss"])
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    return {
-        "metric": f"train images/sec/chip ({phase} phase, GAN+LPIPS step, bs {bs}, remat)",
+    tag = "" if dtype == "float32" else f", {dtype}"
+    record = {
+        "metric": f"train images/sec/chip ({phase} phase, GAN+LPIPS step, bs {bs}, remat{tag})",
         "value": round(bs / dt, 3),
         "unit": "images/sec",
         "vs_baseline": round(bs / dt / NORTH_STAR_FPS, 3),
     }
+    if flops > 0:
+        record["mfu"] = round(flops / dt / V5E_PEAK_FLOPS, 4)
+        record["flops_per_image"] = round(flops / bs / 1e9, 2)  # GFLOP
+    return record
 
 
 def main() -> None:
@@ -155,6 +165,11 @@ def main() -> None:
     p.add_argument("--per_step", action="store_true")
     p.add_argument("--batch_scenes", type=int, default=0,
                    help="throughput mode: unroll N scenes concurrently")
+    p.add_argument("--train_bs", type=int, default=0,
+                   help="train_* configs: batch-size override (0 = default)")
+    p.add_argument("--train_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="train_* configs: activation compute dtype")
     p.add_argument("--tsdf_stride", type=int, default=1,
                    help="map-requery: fuse every s-th ray (1 = exact/reference)")
     p.add_argument("--profile", default=None)
@@ -183,7 +198,7 @@ def main() -> None:
         phase = {"codebook": "codebook", "conditional": "conditional_generation"}[
             args.config[len("train_"):]
         ]
-        print(json.dumps(bench_train(phase)))
+        print(json.dumps(bench_train(phase, args.train_bs, args.train_dtype)))
         return
     if args.config == "step":
         args.frames, args.per_step = 8, True

@@ -83,6 +83,8 @@ def main(argv=None) -> None:
     p.add_argument("--seed_index", type=int, default=0)
     p.add_argument("--rows", type=int, default=None)
     p.add_argument("--cols", type=int, default=None)
+    p.add_argument("--resolution", type=int, default=256,
+                   help="square frame resolution (reference: 256)")
     p.add_argument("--num_src", type=int, default=None)
     p.add_argument("--trajectory", default="grid",
                    choices=["grid", "spiral", "cylinder", "trajectory"])
@@ -144,7 +146,7 @@ def main(argv=None) -> None:
     # defaults per reference (inference_pipeline.py:43,48)
     rows = opt.rows or (20 if opt.dataset == "clevr-infinite" else 100)
     cols = opt.cols or (20 if opt.dataset == "clevr-infinite" else 1)
-    resolution = (256, 256)
+    resolution = (opt.resolution, opt.resolution)
     cfg = SceneGenConfig(
         dataset=opt.dataset,
         output_dim=(rows, cols),

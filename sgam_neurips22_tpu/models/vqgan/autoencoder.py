@@ -57,6 +57,12 @@ class DDConfig:
     # on one v5e without it. No reference counterpart (torch keeps all
     # activations); numerics are identical.
     remat: bool = False
+    # activation dtype through the conv stack ('float32' = reference parity).
+    # 'bfloat16' halves the HBM bytes of every 256^2-resolution activation
+    # pass — the measured bottleneck of the GAN training step (NOTES.md) —
+    # while group_norm statistics stay f32 (nn.group_norm) and the VQ
+    # distance/codebook path stays f32 (quantize.codeword_distances).
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "DDConfig":
@@ -100,14 +106,23 @@ def init_encoder(key, cfg: DDConfig, dtype=jnp.float32) -> Params:
 
 
 def _maybe_remat(fn, cfg: DDConfig):
-    return jax.checkpoint(fn) if cfg.remat else fn
+    """Selective rematerialization: conv outputs (tagged 'conv_out' in
+    nn.conv2d) are saved; group-norm/swish/attention intermediates recompute
+    on the backward pass. Convs hold ~all the level FLOPs but only ~1/4 of
+    its live tensors, so this costs a few percent recompute (vs ~40% for
+    full per-level remat) while still fitting the flagship GAN step at the
+    reference batch sizes on one v5e."""
+    if not cfg.remat:
+        return fn
+    policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+    return jax.checkpoint(fn, policy=policy)
 
 
 def apply_encoder(p: Params, cfg: DDConfig, x: jnp.ndarray) -> jnp.ndarray:
     """x: [B, H, W, in_channels] -> [B, H/2^k, W/2^k, z_channels]
     (reference Encoder.forward, model.py:405-433)."""
     num_res = len(cfg.ch_mult)
-    h = conv2d(x, p["conv_in"])
+    h = conv2d(x.astype(jnp.dtype(cfg.compute_dtype)), p["conv_in"])
 
     def level_fn(h, level):
         for i_block in range(cfg.num_res_blocks):
@@ -126,7 +141,9 @@ def apply_encoder(p: Params, cfg: DDConfig, x: jnp.ndarray) -> jnp.ndarray:
     h = resnet_block(h, p["mid"]["block_2"])
     h = group_norm(h, p["norm_out"])
     h = swish(h)
-    return conv2d(h, p["conv_out"])
+    # the latent leaves in f32 regardless of compute dtype: quantization
+    # argmin ties are precision-sensitive (SURVEY.md hard part #1)
+    return conv2d(h, p["conv_out"]).astype(jnp.float32)
 
 
 # ----------------------------------------------------------------- decoder
@@ -169,7 +186,7 @@ def apply_decoder_features(p: Params, cfg: DDConfig, z: jnp.ndarray) -> jnp.ndar
     vqperceptual.py:65-76).
     """
     num_res = len(cfg.ch_mult)
-    h = conv2d(z, p["conv_in"])
+    h = conv2d(z.astype(jnp.dtype(cfg.compute_dtype)), p["conv_in"])
     h = resnet_block(h, p["mid"]["block_1"])
     h = attn_block(h, p["mid"]["attn_1"])
     h = resnet_block(h, p["mid"]["block_2"])
@@ -188,7 +205,9 @@ def apply_decoder_features(p: Params, cfg: DDConfig, z: jnp.ndarray) -> jnp.ndar
     for i_level in reversed(range(num_res)):
         h = level_fn(h, p["up"][i_level])
     h = group_norm(h, p["norm_out"])
-    return swish(h)
+    # back to f32 before conv_out: the adaptive GAN weight differentiates
+    # w.r.t. the last kernel alone (training/losses.py) in f32
+    return swish(h).astype(jnp.float32)
 
 
 def apply_decoder(p: Params, cfg: DDConfig, z: jnp.ndarray) -> jnp.ndarray:

@@ -16,6 +16,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 Params = Dict[str, Any]
 
@@ -57,7 +58,12 @@ def conv2d(
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return y + p["bias"].astype(x.dtype)
+    # tagged for the selective remat policy (autoencoder._maybe_remat):
+    # under jax.checkpoint, conv outputs are SAVED for the backward pass and
+    # only the cheap elementwise ops (group_norm, swish, adds) recompute —
+    # convs carry ~all the FLOPs here, elementwise ops ~all the residency.
+    # checkpoint_name is a no-op outside a policied jax.checkpoint.
+    return checkpoint_name(y + p["bias"].astype(x.dtype), "conv_out")
 
 
 def group_norm(

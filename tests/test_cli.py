@@ -114,3 +114,56 @@ def test_evaluate_cli(tmp_path):
     assert out["n_frames"] == 3
     assert 20 < out["psnr"] < 40
     assert 0 < out["ssim"] <= 1
+
+
+def test_generate_cli_smoke(tmp_path):
+    """Run the scene-generation CLI end-to-end (tiny model via a
+    reference-schema trained-model YAML, real template-file layout):
+    frames + point clouds must land on disk in the reference layout."""
+    tdir = tmp_path / "templates"
+    os.makedirs(tdir)
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+    Image.fromarray(img).save(tdir / "im_00000_00_00.png")
+    # CLEVR templates carry RAY depth (generate.py converts to z)
+    np.save(tdir / "dm_00000_00_00.npy", rng.uniform(8, 14, (64, 64)).astype(np.float32))
+    cfg_path = tmp_path / "model.yaml"
+    cfg_path.write_text("""
+model:
+  target: sgam_neurips22_tpu.VQModel
+  params:
+    phase: conditional_generation
+    embed_dim: 32
+    n_embed: 64
+    use_extrapolation_mask: true
+    ddconfig:
+      double_z: false
+      z_channels: 32
+      resolution: 16
+      in_channels: 4
+      out_ch: 4
+      ch: 32
+      ch_mult: [1, 2]
+      num_res_blocks: 1
+      attn_resolutions: [8]
+      dropout: 0.0
+    data_config:
+      dataset: clevr-infinite
+      depth_range: [7, 16]
+""")
+    out = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, "generate.py", "--dataset", "clevr-infinite",
+         "--config", str(cfg_path), "--template_dir", str(tdir),
+         "--output_dir", out, "--rows", "2", "--cols", "2",
+         "--resolution", "64", "--num_src", "2"],
+        cwd=REPO, env=CPU_ENV, capture_output=True, text=True, timeout=480,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = os.listdir(out)
+    # 2x2 grid: seed + 3 generated frames, each with im/dm/R/t
+    assert sum(f.startswith("im_") for f in files) == 4
+    assert sum(f.startswith("dm_") for f in files) == 4
+    assert "merged_pcds.ply" in files
+    depth = np.load(os.path.join(out, sorted(f for f in files if f.startswith("dm_"))[-1]))
+    assert depth.shape == (64, 64)

@@ -306,3 +306,24 @@ def test_remat_is_numerically_identical():
     np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_bfloat16_compute_mode_close_to_f32(tiny_params):
+    """compute_dtype='bfloat16' (opt-in mixed precision for the
+    bandwidth-bound train step) must track the f32 forward closely: group
+    norm stats and the VQ distance path stay f32 by construction."""
+    from dataclasses import replace
+
+    x = jax.random.uniform(
+        jax.random.PRNGKey(7), (2, 16, 16, 4), minval=-1.0, maxval=1.0
+    )
+    ref = forward(tiny_params, TINY, x)
+    bf_cfg = replace(TINY, ddconfig=replace(TINY.ddconfig, compute_dtype="bfloat16"))
+    got = forward(tiny_params, bf_cfg, x)
+    assert got.xrec.dtype == jnp.float32  # casts back at the boundaries
+    # a ~1% tail of latent positions lands on a different (near-tied)
+    # codeword under bf16 rounding, which moves those decoded pixels a lot —
+    # bound the mean and the discrete-flip rate, not the max
+    assert float(jnp.mean(jnp.abs(got.xrec - ref.xrec))) < 0.05
+    assert float(jnp.max(jnp.abs(got.xrec - ref.xrec))) < 0.5
+    assert float(jnp.mean((got.indices == ref.indices))) > 0.9
