@@ -94,6 +94,12 @@ def main(argv=None) -> None:
                    help="float32/highest = bit-parity mode for "
                         "checkpoint-exact unrolls (measured: no speed "
                         "difference end-to-end on v5e)")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model activation dtype; bfloat16 = production fast "
+                        "mode (+19%% frames/sec on v5e; group-norm stats and "
+                        "the VQ codeword path stay f32 — ~1%% of codewords "
+                        "flip to near-tied neighbors vs the f32 unroll)")
     opt = p.parse_args(argv)
 
     _enable_compilation_cache()
@@ -129,6 +135,13 @@ def main(argv=None) -> None:
                 depth_range=(0.099975586, 4.765625),
             )
 
+    if opt.compute_dtype != "float32":
+        from dataclasses import replace
+
+        model_cfg = replace(
+            model_cfg,
+            ddconfig=replace(model_cfg.ddconfig, compute_dtype=opt.compute_dtype),
+        )
     params = init_vqmodel(jax.random.PRNGKey(0), model_cfg)
     if opt.ckpt and os.path.exists(opt.ckpt):
         if opt.ckpt.endswith(".pkl"):
