@@ -30,6 +30,8 @@ def sphere_volume(n=48, radius=1.0):
         pool_ids=np.zeros(cfg.pool_capacity, np.int32),
         pool_count=np.zeros((), np.int32),
         stats=np.zeros(3, np.float32),
+        frame=np.zeros((), np.int32),
+        claim=np.zeros(n * n * n, np.int32),
     )
     return vol, cfg
 
