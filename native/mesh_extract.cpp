@@ -72,8 +72,7 @@ void do_tet(const V3 p[4], const float val[4], const V3 col[4], float iso,
   static constexpr int kEdges[6][2] = {{0, 1}, {0, 2}, {0, 3},
                                        {1, 2}, {1, 3}, {2, 3}};
   V3 pts[4], cls[4];
-  int n = 0;
-  int inside_single = -1, outside_single = -1;
+  int inside_single = -1;
   int n_inside = __builtin_popcount(code);
   if (n_inside == 1 || n_inside == 3) {
     // one corner separated from the other three -> one triangle
@@ -125,11 +124,14 @@ extern "C" {
 // Returns the TOTAL number of triangles on the surface. At most `max_tris`
 // are written to out_verts/out_cols (9 floats each: 3 vertices / colors).
 // Call twice: once with max_tris=0 to size buffers, once to fill them.
+// `has_color` == 0 ignores `color` entirely (pass any non-null pointer) and
+// emits gray — callers then skip materializing an [X*Y*Z*3] color grid,
+// which for a 100M-voxel volume would be >1 GB of host memory.
 int64_t tsdf_extract_mesh(const float *tsdf, const float *weight,
                           const float *color, int32_t X, int32_t Y, int32_t Z,
                           float ox, float oy, float oz, float voxel, float iso,
                           float *out_verts, float *out_cols,
-                          int64_t max_tris) {
+                          int64_t max_tris, int32_t has_color) {
   Emitter em{out_verts, out_cols, max_tris, 0};
   const int64_t sy = Z, sx = (int64_t)Y * Z;
   for (int32_t x = 0; x + 1 < X; ++x) {
@@ -150,7 +152,9 @@ int64_t tsdf_extract_mesh(const float *tsdf, const float *weight,
           v[k] = tsdf[idx];
           p[k] = {ox + (cx + 0.5f) * voxel, oy + (cy + 0.5f) * voxel,
                   oz + (cz + 0.5f) * voxel};
-          c[k] = {color[idx * 3], color[idx * 3 + 1], color[idx * 3 + 2]};
+          c[k] = has_color
+                     ? V3{color[idx * 3], color[idx * 3 + 1], color[idx * 3 + 2]}
+                     : V3{0.5f, 0.5f, 0.5f};
         }
         if (!observed) continue;
         // quick reject: all same side

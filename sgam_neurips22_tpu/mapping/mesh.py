@@ -43,6 +43,7 @@ def _load_lib(build: bool = True) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float),  # out verts
         ctypes.POINTER(ctypes.c_float),  # out cols
         ctypes.c_int64,  # max tris
+        ctypes.c_int32,  # has_color
     ]
     _lib = lib
     return lib
@@ -61,7 +62,8 @@ def _fp(a: np.ndarray):
 
 
 def extract_mesh(
-    volume, cfg, iso: float = 0.0, color_grid: Optional[np.ndarray] = None
+    volume, cfg, iso: float = 0.0, color_grid: Optional[np.ndarray] = None,
+    max_triangles: int = 25_000_000,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """TSDFVolume -> (vertices [T, 3, 3], colors [T, 3, 3]) triangle soup.
 
@@ -69,30 +71,45 @@ def extract_mesh(
       volume: mapping.tsdf.TSDFVolume; cfg: TSDFConfig.
       color_grid: optional [X, Y, Z, 3]; gray when absent (vertex colors can
         be reassigned afterwards via tsdf.colorize_points on the vertices —
-        the in-loop volume carries no color by design).
+        the in-loop volume carries no color by design; when absent, no
+        volume-sized color buffer is materialized either).
+      max_triangles: hard cap on the emitted soup (25M ~= 1.8 GB of output
+        buffers). Degenerate geometry — e.g. random-weight depth noise —
+        can turn nearly every observed voxel into crossings; a real scene
+        surface stays far below the cap. Truncation is LOUD.
     """
     lib = _load_lib()
     tsdf = np.ascontiguousarray(np.asarray(volume.tsdf), np.float32)
     weight = np.ascontiguousarray(np.asarray(volume.weight), np.float32)
-    if color_grid is None:
-        color_grid = np.full(tuple(cfg.dims) + (3,), 0.5, np.float32)
-    color = np.ascontiguousarray(color_grid, np.float32)
+    has_color = color_grid is not None
+    if has_color:
+        color = np.ascontiguousarray(color_grid, np.float32)
+    else:
+        color = np.zeros(1, np.float32)
     x, y, z = cfg.dims
     ox, oy, oz = cfg.origin
     empty = np.zeros(1, np.float32)
     n = lib.tsdf_extract_mesh(
         _fp(tsdf), _fp(weight), _fp(color), x, y, z,
         ox, oy, oz, cfg.voxel_size, iso, _fp(empty), _fp(empty), 0,
+        int(has_color),
     )
     if n == 0:
         return np.zeros((0, 3, 3), np.float32), np.zeros((0, 3, 3), np.float32)
+    if n > max_triangles:
+        print(
+            f"WARNING: mesh extraction found {n} triangles; writing the "
+            f"first {max_triangles} (raise max_triangles to keep all)"
+        )
+        n = max_triangles
     verts = np.empty((n, 3, 3), np.float32)
     cols = np.empty((n, 3, 3), np.float32)
     n2 = lib.tsdf_extract_mesh(
         _fp(tsdf), _fp(weight), _fp(color), x, y, z,
         ox, oy, oz, cfg.voxel_size, iso, _fp(verts), _fp(cols), n,
+        int(has_color),
     )
-    assert n2 == n
+    assert n2 >= n
     return verts, cols
 
 

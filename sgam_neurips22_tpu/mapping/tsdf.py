@@ -184,11 +184,15 @@ def auto_config(
     if pool_capacity is None:
         # 6 voxels per cell of the largest volume face: room for one surface
         # crossing per column plus slack for noisy / multi-layer geometry
-        # (4x overflowed by ~5% on the CLEVR template bench scene)
+        # (4x overflowed by ~5% on the CLEVR template bench scene). Pools
+        # beyond the 2^20 packed-key limit splat in chunks (cost stays
+        # linear in capacity); cap at 4 chunks to bound the render cost.
         faces = (
             dims[0] * dims[1], dims[0] * dims[2], dims[1] * dims[2],
         )
-        pool_capacity = int(np.clip(6 * max(faces), 1 << 16, MAX_POOL_CAPACITY))
+        pool_capacity = int(
+            np.clip(6 * max(faces), 1 << 16, 4 * MAX_POOL_CAPACITY)
+        )
     return TSDFConfig(
         dims=tuple(int(d) for d in dims),
         voxel_size=vox,

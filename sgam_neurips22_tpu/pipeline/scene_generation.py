@@ -707,6 +707,12 @@ class InfiniteSceneGeneration:
                 # TSDF carries no color by design; see tsdf.colorize_points)
                 if w2cs is None:
                     return np.full((len(points), 3), 0.5, np.float32)
+                if len(points) * len(w2cs) > 2e9:
+                    print(
+                        f"note: skipping color reprojection for {len(points)} "
+                        f"points x {len(w2cs)} frames (host cost); exporting gray"
+                    )
+                    return np.full((len(points), 3), 0.5, np.float32)
                 return colorize_points(
                     points, rgb[visited], depth[visited],
                     np.asarray(self.grid.K), w2cs,
@@ -723,7 +729,11 @@ class InfiniteSceneGeneration:
             try:
                 from sgam_neurips22_tpu.mapping.mesh import extract_mesh, write_mesh_ply
 
-                verts, _ = extract_mesh(self.volume, self.tsdf_cfg)
+                # capped: degenerate (random-weight) geometry can emit a
+                # triangle per observed voxel; real surfaces stay far below
+                verts, _ = extract_mesh(
+                    self.volume, self.tsdf_cfg, max_triangles=8_000_000
+                )
                 if len(verts):
                     vcols = _colorize(verts.reshape(-1, 3)).reshape(verts.shape)
                     write_mesh_ply(
