@@ -55,6 +55,13 @@ class CheckpointManager:
             step, args=ocp.args.StandardSave(state), force=force, metrics=metrics
         )
 
+    def should_save(self, step: int) -> bool:
+        """True iff save(step) would actually write (interval check). Callers
+        gate the device->host state transfer on this — fetching ~1 GB of
+        train state through the remote-TPU tunnel on every no-op save was
+        measured at ~60 s/step (NOTES.md round 2)."""
+        return bool(self._mgr.should_save(step))
+
     def restore(self, state_like: Any, step: Optional[int] = None) -> Any:
         step = self.latest_step() if step is None else step
         if step is None:
@@ -81,6 +88,12 @@ def install_signal_checkpoint(save_fn: Callable[[], None]) -> None:
     def handler(signum, frame):
         print(f"signal {signum}: writing emergency checkpoint")
         save_fn()
+        if signum == signal.SIGTERM:
+            # preemption semantics: persist, then stop. (SIGUSR1 matches the
+            # reference's melk: checkpoint and keep training.) Exiting from
+            # the handler also stops a run whose main loop is stuck in a
+            # long device dispatch from lingering as an orphan.
+            raise SystemExit(143)
 
     signal.signal(signal.SIGUSR1, handler)
     signal.signal(signal.SIGTERM, handler)

@@ -217,13 +217,18 @@ class Trainer:
 
     def fit(self, epochs: int = 1) -> None:
         try:
+            # host-side step mirror: train_step increments state['step'] by
+            # exactly 1, so reading the device scalar every iteration (a
+            # tunnel round-trip) is pure overhead
+            host_step = int(self.state["step"])
             for epoch in range(epochs):
                 for batch in self.data.train_loader():
-                    step = int(self.state["step"])
+                    step = host_step
                     self._maybe_kmeans_refresh(step)
                     self.state, logs = train_step(
                         self.state, batch, self.lpips_params, self._step_cfg(step)
                     )
+                    host_step += 1
                     if step % 50 == 0:
                         logs["lr"] = float(self.train_cfg.lr_at(step))  # LR monitor
                         self.metrics.log(
@@ -231,7 +236,8 @@ class Trainer:
                         )
                     if self.images.should_log(step):
                         self._log_images(batch, "train", step)
-                    self.ckpt.save(step, jax.device_get(self.state))
+                    if self.ckpt.should_save(step):
+                        self.ckpt.save(step, jax.device_get(self.state))
                     if self.max_steps and step >= self.max_steps:
                         self.validate()
                         self.test()
@@ -271,9 +277,17 @@ class Trainer:
             self.metrics.log(out, step)
             print({k: round(v, 5) for k, v in out.items()})
             if self.monitor in out and self.best_ckpt.latest_step() != step:
-                self.best_ckpt.save(
-                    step, jax.device_get(self.state), metrics=out, force=True
-                )
+                # host-side top-k candidate gate: orbax handles retention,
+                # but a non-candidate save still costs the full device->host
+                # state fetch (~1 GB, ~minutes through the remote-TPU
+                # tunnel) plus a write. Only fetch when this value would
+                # enter the kept top-k.
+                vals = getattr(self, "_best_vals", [])
+                if len(vals) < 3 or out[self.monitor] < max(vals):
+                    self.best_ckpt.save(
+                        step, jax.device_get(self.state), metrics=out, force=True
+                    )
+                    self._best_vals = sorted([*vals, out[self.monitor]])[:3]
 
     def _log_images(self, batch: Dict[str, Any], split: str, step: int) -> None:
         from sgam_neurips22_tpu.models.conditioning import get_x
