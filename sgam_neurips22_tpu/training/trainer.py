@@ -241,13 +241,24 @@ class Trainer:
                     if self.max_steps and step >= self.max_steps:
                         self.validate()
                         self.test()
+                        self._final_save()
                         return
                 self.validate()
             self.test()
+            self._final_save()
         except BaseException:
             # crash -> emergency checkpoint (reference 'melk', :221-225)
             self._emergency_save()
             raise
+
+    def _final_save(self) -> None:
+        """Persist the end-of-fit state regardless of the save interval (the
+        reference's ModelCheckpoint save_last keeps last.ckpt current), so
+        --resume continues from where training actually stopped."""
+        step = int(self.state["step"])
+        if self.ckpt.latest_step() != step:
+            self.ckpt.save(step, jax.device_get(self.state), force=True)
+        self.ckpt.wait()
 
     def test(self) -> None:
         """Run the test split after fit (reference trainer.test, train CLI

@@ -100,8 +100,10 @@ def test_trainer_fit_and_resume(codebook_dataset_dir, tmp_path):
     assert "aeloss" in rec
     # config snapshot written (SetupCallback parity)
     assert os.path.exists(os.path.join(logdir, "config.yaml"))
-    # emergency save then resume round-trips
-    tr._emergency_save()
+    # fit persists its final state regardless of the save interval
+    # (ModelCheckpoint save_last parity) -> resume continues from there
+    assert tr.ckpt.latest_step() == int(tr.state["step"])
+    tr._emergency_save()  # idempotent at an already-saved step
     tr2 = Trainer(cfg, logdir, use_wandb=False, max_steps=3, install_signals=False)
     tr2.resume()
     assert int(tr2.state["step"]) == int(tr.state["step"])
