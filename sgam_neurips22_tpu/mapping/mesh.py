@@ -24,12 +24,20 @@ def _load_lib(build: bool = True) -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and build:
-        subprocess.run(
-            ["make", "-C", os.path.abspath(_NATIVE_DIR)],
-            check=True,
-            capture_output=True,
-        )
+    if build:
+        # always invoke make (dependency-tracked, a fresh build is a no-op):
+        # a stale .so from before an ABI change would otherwise be loaded
+        # silently — e.g. the has_color parameter added to tsdf_extract_mesh
+        # turns into out-of-bounds color reads on the old binary
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+            )
+        except (OSError, subprocess.CalledProcessError):
+            if not os.path.exists(_LIB_PATH):
+                raise
     lib = ctypes.CDLL(_LIB_PATH)
     lib.tsdf_extract_mesh.restype = ctypes.c_int64
     lib.tsdf_extract_mesh.argtypes = [

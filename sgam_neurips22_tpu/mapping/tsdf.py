@@ -44,6 +44,12 @@ from sgam_neurips22_tpu.geometry.camera import pixel_grid
 # packed z-buffer key layout: 12 bits quantized depth + 20 bits pool index
 _POOL_IDX_BITS = 20
 MAX_POOL_CAPACITY = 1 << _POOL_IDX_BITS
+# claim-grid key layout (integrate's pool dedup): FIXED position width so
+# keys from calls with different ray counts (resolutions / strides) stay
+# comparable in one volume; 2^18 rays covers 512x512 frames. int32 leaves
+# 31-18 = 13 bits of frame headroom -> 8191 integrate() calls per volume
+# (reference scenes: <= 400).
+_CLAIM_POS_BITS = 18
 
 
 @dataclass(frozen=True)
@@ -54,7 +60,9 @@ class TSDFConfig:
     origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # world min corner
     depth_trunc: float = 20.0  # ignore depth beyond (reference :776 depth_trunc=20)
     band_voxels: Optional[int] = None  # band half-width in voxels (None = auto)
-    pool_capacity: int = 1 << 19  # surface-voxel pool slots (<= 2^20)
+    # surface-voxel pool slots; pools beyond 2^20 render in chunks of 2^20
+    # (splat cost is linear in capacity either way)
+    pool_capacity: int = 1 << 19
     # integrate every s-th ray (1 = all pixels, the reference behavior); the
     # band scatter is the fusion cost and scales 1/s^2 — see integrate()
     integrate_stride: int = 1
@@ -144,8 +152,10 @@ def auto_config(
       intrinsics: [3, 3].
       image_size: (H, W).
       depth_range: (lo, hi) metric z-depth the dataset codec can produce.
-      pool_capacity: surface-pool slots; None = 4 x the largest volume face
-        (one voxel per surface crossing), clamped to [2^16, 2^20].
+      pool_capacity: surface-pool slots; None = 6 x the largest volume face
+        (one voxel per surface crossing per face-column plus slack),
+        clamped to [2^16, 4*2^20] — the splat renderer chunks pools beyond
+        the 2^20 packed-key limit.
     """
     h, w = image_size
     lo, hi = depth_range
@@ -299,12 +309,14 @@ def integrate(
     # (ties broken toward the smallest pixel position, as before).
     cand = lin[..., band - 1].reshape(-1)  # [H*W / s^2]
     cand_ok = ok[..., band - 1].reshape(-1)
-    pos_bits = max(1, (cand.shape[0] - 1).bit_length())
-    # int32 headroom: supports (2^(31-pos_bits) - 1) integrate() calls per
-    # volume (32767 frames at 256^2 rays) — far beyond any reference scene
-    pmask = (1 << pos_bits) - 1
+    if cand.shape[0] > (1 << _CLAIM_POS_BITS):
+        raise ValueError(
+            f"integrate: {cand.shape[0]} rays exceed the claim-key capacity "
+            f"2^{_CLAIM_POS_BITS}; raise integrate_stride or _CLAIM_POS_BITS"
+        )
+    pmask = (1 << _CLAIM_POS_BITS) - 1
     pos = jnp.arange(cand.shape[0], dtype=jnp.int32)
-    own = ((vol.frame + 1) << pos_bits) | (pmask - pos)
+    own = ((vol.frame + 1) << _CLAIM_POS_BITS) | (pmask - pos)
     claim = vol.claim.at[cand].max(jnp.where(cand_ok, own, 0))
     first = cand_ok & (claim[cand] == own)
     new = first & (vol.flags[cand] == 0)

@@ -110,6 +110,12 @@ class SceneGenConfig:
 
 
 def _build_grid(cfg: SceneGenConfig, intrinsics=None) -> PoseGrid:
+    if intrinsics is None:
+        # scale the dataset K to the configured frame resolution (the
+        # builders' own default assumes the reference's 256/512 bases)
+        from sgam_neurips22_tpu.pipeline.trajectory import default_intrinsics
+
+        intrinsics = default_intrinsics(cfg.dataset, cfg.image_resolution)
     if cfg.trajectory_shape == "grid":
         return prepare_grid(cfg.dataset, cfg.output_dim, cfg.step_size_denom, intrinsics)
     if cfg.trajectory_shape == "spiral":

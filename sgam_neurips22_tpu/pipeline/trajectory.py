@@ -52,10 +52,17 @@ STEP_UNITS = {
 
 # Per-dataset intrinsics (reference :61-89)
 def default_intrinsics(dataset: str, image_resolution=(256, 256)) -> np.ndarray:
+    """Per-dataset K (reference inference_pipeline.py:61-65,83-89), scaled to
+    `image_resolution` (the reference defines CLEVR's K at 256 and
+    GoogleEarth's at 512; any other output resolution rescales focal length
+    and principal point proportionally)."""
     if dataset == "clevr-infinite":
-        return np.array(
+        k = np.array(
             [[355.5555, 0, 128.0], [0, 355.5555, 128.0], [0, 0, 1.0]], np.float64
         )
+        k[0] *= image_resolution[1] / 256
+        k[1] *= image_resolution[0] / 256
+        return k
     if dataset == "google_earth":
         k = np.array(
             [[497.77774, 0, 256.0], [0, 497.77774, 256.0], [0, 0, 1.0]], np.float64

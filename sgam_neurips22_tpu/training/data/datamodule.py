@@ -98,25 +98,40 @@ class Loader:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        cancelled = threading.Event()
         pool = (
             ThreadPoolExecutor(self.workers, thread_name_prefix="loader")
             if self.workers > 1
             else None
         )
 
+        def put_or_cancel(item) -> bool:
+            # never block forever on a consumer that went away (early break
+            # out of the epoch, e.g. max_steps): poll the cancel flag
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for b in range(n):
+                    if cancelled.is_set():
+                        return
                     batch = self._assemble(
                         idx[b * self.batch_size : (b + 1) * self.batch_size],
                         rng, pool,
                     )
                     if self.device_put is not None:
                         batch = self.device_put(batch)
-                    q.put(batch)
-                q.put(stop)
+                    if not put_or_cancel(batch):
+                        return
+                put_or_cancel(stop)
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                put_or_cancel(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -129,6 +144,14 @@ class Loader:
                     raise item
                 yield item
         finally:
+            cancelled.set()
+            # unblock a producer stuck in q.put and drop device batches
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
             if pool is not None:
                 pool.shutdown(wait=False)
 

@@ -10,6 +10,7 @@ grids + metric logs, validation each epoch, online-kmeans refresh trigger.
 """
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict, Optional
 
@@ -167,6 +168,18 @@ class Trainer:
             max_to_keep=3,
             monitor=self.monitor,
         )
+        # top-k gate values persist next to the checkpoints: a restarted run
+        # must not re-pay the ~1 GB device fetch for non-improving
+        # validations (the in-memory gate alone resets on resume)
+        # (kept OUTSIDE the orbax directory: orbax scans its root for step
+        # dirs and should not see foreign files)
+        self._best_vals_path = os.path.join(logdir, "best_vals.json")
+        self._best_vals: list = []
+        try:
+            with open(self._best_vals_path) as f:
+                self._best_vals = sorted(json.load(f))[:3]
+        except (OSError, ValueError):
+            pass
         if install_signals:
             install_signal_checkpoint(self._emergency_save)
         self._kmeans_key = jax.random.PRNGKey(seed + 7)
@@ -293,12 +306,17 @@ class Trainer:
                 # state fetch (~1 GB, ~minutes through the remote-TPU
                 # tunnel) plus a write. Only fetch when this value would
                 # enter the kept top-k.
-                vals = getattr(self, "_best_vals", [])
+                vals = self._best_vals
                 if len(vals) < 3 or out[self.monitor] < max(vals):
                     self.best_ckpt.save(
                         step, jax.device_get(self.state), metrics=out, force=True
                     )
                     self._best_vals = sorted([*vals, out[self.monitor]])[:3]
+                    try:
+                        with open(self._best_vals_path, "w") as f:
+                            json.dump(self._best_vals, f)
+                    except OSError:
+                        pass
 
     def _log_images(self, batch: Dict[str, Any], split: str, step: int) -> None:
         from sgam_neurips22_tpu.models.conditioning import get_x

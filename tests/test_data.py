@@ -122,3 +122,17 @@ def test_encode_disparity_ranges():
     d = np.linspace(0.099975586, 4.765625, 100)
     disp = encode_disparity_np(d, "google_earth")
     assert disp.max() <= 1 + 1e-6 and disp.min() >= -1 - 1e-6
+
+
+def test_loader_early_exit_stops_producer(clevr_dataset_dir):
+    """Breaking out of an epoch (max_steps) must stop the prefetch thread
+    rather than leaving it blocked on a full queue."""
+    import threading
+
+    ds = ClevrInfinitePairs("train", clevr_dataset_dir, n_src=2, image_resolution=RES)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(Loader(ds, batch_size=1, prefetch=1))
+        next(it)
+        it.close()  # generator finally -> cancel + drain + join
+    assert threading.active_count() <= before + 1

@@ -264,3 +264,20 @@ def test_batched_scene_expansion_sharded_over_mesh(tiny_params):
     )
     r2, d2 = gen2.scene_expansion_batched(seeds_batch, jax.random.PRNGKey(0))
     np.testing.assert_allclose(np.asarray(rgb_bufs), np.asarray(r2), atol=1e-6)
+
+
+def test_intrinsics_scale_with_resolution():
+    """Non-256 frame resolutions must rescale K (focal + principal point);
+    the grid builder picks this up from SceneGenConfig.image_resolution."""
+    from sgam_neurips22_tpu.pipeline.scene_generation import SceneGenConfig, _build_grid
+    from sgam_neurips22_tpu.pipeline.trajectory import default_intrinsics
+
+    k256 = default_intrinsics("clevr-infinite", (256, 256))
+    k64 = default_intrinsics("clevr-infinite", (64, 64))
+    np.testing.assert_allclose(k64[:2], k256[:2] / 4)
+    assert k64[0, 2] == 32.0  # principal point inside a 64x64 frame
+    grid = _build_grid(
+        SceneGenConfig(dataset="clevr-infinite", output_dim=(2, 2),
+                       image_resolution=(64, 64))
+    )
+    np.testing.assert_allclose(grid.K, k64)
