@@ -81,6 +81,13 @@ def main(argv=None) -> None:
                         "bug exactly (quantize.py:358); off = each latent "
                         "position samples from its own top-k distribution")
     p.add_argument("--seed_index", type=int, default=0)
+    p.add_argument("--batch_seeds", action="store_true",
+                   help="unroll ALL seed templates concurrently as one "
+                        "batched XLA program (production serving mode; the "
+                        "model runs at batch S and the splat scatters the "
+                        "whole batch — google_earth ships 5 seeds). Splat "
+                        "conditioning only; outputs land in "
+                        "<output_dir>_seed<k>.")
     p.add_argument("--rows", type=int, default=None)
     p.add_argument("--cols", type=int, default=None)
     p.add_argument("--resolution", type=int, default=256,
@@ -172,6 +179,28 @@ def main(argv=None) -> None:
         image_resolution=resolution,
     )
     template_dir = opt.template_dir or os.path.join("templates", opt.dataset)
+    if opt.batch_seeds:
+        if opt.use_rgbd_integration:
+            raise SystemExit("--batch_seeds currently supports splat conditioning")
+        n_seeds = len(glob.glob(os.path.join(template_dir, "seed*"))) or 1
+        seeds_batch = [
+            load_seed_frames(template_dir, opt.dataset, k, resolution)
+            for k in range(n_seeds)
+        ]
+        out = opt.output_dir or f"grid_res/{opt.dataset}"
+        gen = InfiniteSceneGeneration(
+            params, model_cfg, cfg, seeds=seeds_batch[0]
+        )
+        rgbs, depths = gen.scene_expansion_batched(
+            seeds_batch, jax.random.PRNGKey(3)
+        )
+        gen.grid.visited[:] = True
+        for k in range(n_seeds):
+            gen.rgb_buf, gen.depth_buf = rgbs[k], depths[k]
+            gen.export_frames(f"{out}_seed{k}")
+            gen.export_point_clouds(f"{out}_seed{k}")
+        print(f"Successfully unrolled {n_seeds} seeds; results at {out}_seed*")
+        return
     seeds = load_seed_frames(template_dir, opt.dataset, opt.seed_index, resolution)
     out = opt.output_dir or f"grid_res/{opt.dataset}_seed{opt.seed_index}"
     gen = InfiniteSceneGeneration(
