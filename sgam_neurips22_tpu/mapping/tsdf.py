@@ -431,18 +431,35 @@ def _render_depth_splat(
     zq = jnp.clip((z - near) / (far - near) * 4095.0, 0, 4095).astype(jnp.uint32)
     sentinel = jnp.uint32(0xFFFFFFFF)
     # the packed key indexes 2^20 points; pools beyond that splat in chunks
-    # (cost is linear in capacity either way — the scatter dominates)
+    # (cost is linear in capacity either way — the scatter dominates).
+    # Chunks entirely beyond pool_count are skipped via lax.cond: the pool
+    # fills gradually over a scene unroll, so early frames only pay for the
+    # slots actually in use (~10.5 ms per full 2^20 chunk on v5e).
     best = None
     chunk_sel = jnp.zeros((h * w,), jnp.int32)
     for ci, c0 in enumerate(range(0, p, MAX_POOL_CAPACITY)):
         c1 = min(c0 + MAX_POOL_CAPACITY, p)
-        key = (zq[c0:c1] << _POOL_IDX_BITS) | jnp.arange(c1 - c0, dtype=jnp.uint32)
-        key = jnp.where(valid[c0:c1], key, sentinel)
-        win = (
-            jnp.full((h * w,), sentinel, jnp.uint32)
-            .at[pix[c0:c1]]
-            .min(key, mode="drop")
-        )
+
+        def scatter_chunk(c0=c0, c1=c1):
+            key = (
+                (zq[c0:c1] << _POOL_IDX_BITS)
+                | jnp.arange(c1 - c0, dtype=jnp.uint32)
+            )
+            key = jnp.where(valid[c0:c1], key, sentinel)
+            return (
+                jnp.full((h * w,), sentinel, jnp.uint32)
+                .at[pix[c0:c1]]
+                .min(key, mode="drop")
+            )
+
+        if c0 == 0:
+            win = scatter_chunk()
+        else:
+            win = jax.lax.cond(
+                vol.pool_count > c0,
+                scatter_chunk,
+                lambda: jnp.full((h * w,), sentinel, jnp.uint32),
+            )
         if best is None:
             best = win
         else:
