@@ -71,6 +71,33 @@ def cam2pixel(
     return jnp.stack([x_norm, y_norm], axis=-1), z
 
 
+def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate/determinant) 3x3 inverse, any batch shape.
+
+    jnp.linalg.inv routes even 3x3s through LU factorization + triangular
+    solves, which XLA:TPU lowers to serial while-loops of
+    dynamic-update-slices — traced at ~6 ms/frame of pure loop overhead in
+    the map-requery step (NOTES.md round 2). The closed form is exact,
+    elementwise, and fuses.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    ca, cb, cc = e * i - f * h, c * h - b * i, b * f - c * e
+    cd, ce, cf = f * g - d * i, a * i - c * g, c * d - a * f
+    cg, ch, ci = d * h - e * g, b * g - a * h, a * e - b * d
+    det = a * ca + b * cd + c * cg
+    adj = jnp.stack(
+        [
+            jnp.stack([ca, cb, cc], axis=-1),
+            jnp.stack([cd, ce, cf], axis=-1),
+            jnp.stack([cg, ch, ci], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
 def make_intrinsics(fx: float, fy: float, cx: float, cy: float) -> jnp.ndarray:
     return jnp.array(
         [[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], dtype=jnp.float32

@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sgam_neurips22_tpu.geometry.camera import pixel2cam
+from sgam_neurips22_tpu.geometry.camera import inv3x3, pixel2cam
 
 
 class SplatResult(NamedTuple):
@@ -247,7 +247,7 @@ def render_projection_from_srcs(
       collision: 'nearest' | 'last' (see module docstring).
     """
     b, n, h, w, c = src_features.shape
-    k_inv = jnp.linalg.inv(src_intrinsics.reshape(b * n, 3, 3))
+    k_inv = inv3x3(src_intrinsics.reshape(b * n, 3, 3))
     pts = pixel2cam(src_depths.reshape(b * n, h, w), k_inv)  # [BN, H, W, 3]
     t = src2tgt.reshape(b * n, 4, 4)
     pts = (

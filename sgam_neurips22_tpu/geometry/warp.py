@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sgam_neurips22_tpu.geometry.camera import cam2pixel, pixel2cam
+from sgam_neurips22_tpu.geometry.camera import cam2pixel, inv3x3, pixel2cam
 
 
 def _unnormalize(coord: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -104,7 +104,7 @@ def inverse_warp(
     Returns:
       (projected_img [B, H, W, C], valid [B, H, W, 1] bool)
     """
-    cam_pts = pixel2cam(tgt_depth, jnp.linalg.inv(tgt_intrinsics))
+    cam_pts = pixel2cam(tgt_depth, inv3x3(tgt_intrinsics))
     proj = src_intrinsics @ pose  # [B, 3, 4]
     coords, warped_src_depth = cam2pixel(cam_pts, proj[..., :3], proj[..., 3])
     valid_depth = (warped_src_depth - src_depth) <= depth_threshold
@@ -140,7 +140,7 @@ def inverse_warp_multi_src(
       warped [B, H, W, 3] in [-1, 1]; zeros where no source is valid.
     """
     b, n, h, w, c = src_imgs.shape
-    cam_pts = pixel2cam(tgt_depth, jnp.linalg.inv(tgt_intrinsics))  # [B,H,W,3]
+    cam_pts = pixel2cam(tgt_depth, inv3x3(tgt_intrinsics))  # [B,H,W,3]
 
     # Flatten (B, N) like the reference does.
     cam_pts_r = jnp.repeat(cam_pts, n, axis=0).reshape(b, n, h, w, 3)

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from sgam_neurips22_tpu.geometry.camera import pixel_grid
+from sgam_neurips22_tpu.geometry.camera import inv3x3, pixel_grid
 
 # packed z-buffer key layout: 12 bits quantized depth + 20 bits pool index
 _POOL_IDX_BITS = 20
@@ -218,7 +218,7 @@ def _camera_rays(intrinsics: jnp.ndarray, extrinsic: jnp.ndarray, h: int, w: int
     """(camera center [3], world ray dirs [H, W, 3] with unit z in cam frame):
     points along a ray at parameter t have CAMERA Z-DEPTH exactly t."""
     pix = pixel_grid(h, w)  # [H, W, 3] (u, v, 1)
-    k_inv = jnp.linalg.inv(intrinsics)
+    k_inv = inv3x3(intrinsics)
     dirs_cam = jnp.einsum("ij,hwj->hwi", k_inv, pix)
     r = extrinsic[:3, :3]
     t = extrinsic[:3, 3]
