@@ -17,6 +17,20 @@ from typing import Any, Callable, Optional
 
 import orbax.checkpoint as ocp
 
+# signal-deferral state: Python delivers signals on the main thread between
+# bytecodes, so a handler can fire INSIDE an in-flight CheckpointManager.save
+# (same thread, re-entrant). Writing a second checkpoint for the same step
+# from the handler then collides with the interrupted save, and exiting from
+# the handler aborts it. save() brackets itself with _IN_SAVE; the handler
+# defers its action until the in-flight save finalizes.
+_IN_SAVE = False
+_DEFERRED: list = []
+
+
+def _run_deferred() -> None:
+    while _DEFERRED:
+        _DEFERRED.pop(0)()
+
 
 class CheckpointManager:
     """Thin wrapper over orbax CheckpointManager with step-interval and
@@ -51,9 +65,18 @@ class CheckpointManager:
         self, step: int, state: Any, force: bool = False,
         metrics: Optional[dict] = None,
     ) -> bool:
-        return self._mgr.save(
-            step, args=ocp.args.StandardSave(state), force=force, metrics=metrics
-        )
+        global _IN_SAVE
+        outer = _IN_SAVE
+        _IN_SAVE = True
+        try:
+            return self._mgr.save(
+                step, args=ocp.args.StandardSave(state), force=force,
+                metrics=metrics,
+            )
+        finally:
+            _IN_SAVE = outer
+            if not outer:
+                _run_deferred()
 
     def should_save(self, step: int) -> bool:
         """True iff save(step) would actually write (interval check). Callers
@@ -85,7 +108,7 @@ def install_signal_checkpoint(save_fn: Callable[[], None]) -> None:
     handler, train_generative_sensing_model.py:204-217; SIGTERM added for
     TPU preemption)."""
 
-    def handler(signum, frame):
+    def action(signum):
         print(f"signal {signum}: writing emergency checkpoint")
         save_fn()
         if signum == signal.SIGTERM:
@@ -94,6 +117,15 @@ def install_signal_checkpoint(save_fn: Callable[[], None]) -> None:
             # the handler also stops a run whose main loop is stuck in a
             # long device dispatch from lingering as an orphan.
             raise SystemExit(143)
+
+    def handler(signum, frame):
+        if _IN_SAVE:
+            # arrived mid-save (same thread): let the in-flight save finish,
+            # then checkpoint/exit — re-entering orbax here would collide
+            # with the interrupted write and lose the step entirely
+            _DEFERRED.append(lambda: action(signum))
+            return
+        action(signum)
 
     signal.signal(signal.SIGUSR1, handler)
     signal.signal(signal.SIGTERM, handler)

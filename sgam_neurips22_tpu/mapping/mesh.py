@@ -15,6 +15,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+_ABI_VERSION = 2  # must match native sgam_native_abi_version()
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libsgam_native.so"))
 _lib: Optional[ctypes.CDLL] = None
@@ -39,6 +40,17 @@ def _load_lib(build: bool = True) -> ctypes.CDLL:
             if not os.path.exists(_LIB_PATH):
                 raise
     lib = ctypes.CDLL(_LIB_PATH)
+    # ABI gate: a stale .so surviving the make fallback above must not be
+    # called through a changed signature (e.g. the has_color parameter)
+    try:
+        got = lib.sgam_native_abi_version()
+    except AttributeError:
+        got = 1
+    if got != _ABI_VERSION:
+        raise RuntimeError(
+            f"libsgam_native.so ABI {got} != expected {_ABI_VERSION}; "
+            f"rebuild with: make -C {os.path.abspath(_NATIVE_DIR)}"
+        )
     lib.tsdf_extract_mesh.restype = ctypes.c_int64
     lib.tsdf_extract_mesh.argtypes = [
         ctypes.POINTER(ctypes.c_float),  # tsdf

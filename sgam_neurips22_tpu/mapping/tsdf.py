@@ -48,8 +48,12 @@ MAX_POOL_CAPACITY = 1 << _POOL_IDX_BITS
 # keys from calls with different ray counts (resolutions / strides) stay
 # comparable in one volume; 2^18 rays covers 512x512 frames. int32 leaves
 # 31-18 = 13 bits of frame headroom -> 8191 integrate() calls per volume
-# (reference scenes: <= 400).
+# (reference scenes: <= 400). Beyond that the frame key CLAMPS: overflow
+# cannot corrupt existing state, but in-frame dedup degrades (clamped
+# frames share keys, so re-touched voxels stop entering the pool) —
+# `fusion_fraction` reports it and the pipeline warns.
 _CLAIM_POS_BITS = 18
+CLAIM_MAX_FRAMES = (1 << (31 - _CLAIM_POS_BITS)) - 1  # 8191
 
 
 @dataclass(frozen=True)
@@ -316,7 +320,8 @@ def integrate(
         )
     pmask = (1 << _CLAIM_POS_BITS) - 1
     pos = jnp.arange(cand.shape[0], dtype=jnp.int32)
-    own = ((vol.frame + 1) << _CLAIM_POS_BITS) | (pmask - pos)
+    fkey = jnp.minimum(vol.frame + 1, CLAIM_MAX_FRAMES)  # no int32 overflow
+    own = (fkey << _CLAIM_POS_BITS) | (pmask - pos)
     claim = vol.claim.at[cand].max(jnp.where(cand_ok, own, 0))
     first = cand_ok & (claim[cand] == own)
     new = first & (vol.flags[cand] == 0)

@@ -649,6 +649,15 @@ class InfiniteSceneGeneration:
                 f"({dropped:.0f} candidates dropped; capacity "
                 f"{self.tsdf_cfg.pool_capacity}) — raise tsdf_pool_capacity"
             )
+        from sgam_neurips22_tpu.mapping.tsdf import CLAIM_MAX_FRAMES
+
+        if int(self.volume.frame) >= CLAIM_MAX_FRAMES:
+            print(
+                f"WARNING: volume integrated {int(self.volume.frame)} frames "
+                f">= claim-key capacity {CLAIM_MAX_FRAMES}; pool dedup is "
+                f"degraded beyond that point (new surface voxels may be "
+                f"missed) — start a fresh volume"
+            )
 
     # ------------------------------------------------------------- exports
     def export_frame(self, out_dir: str, step: int, coord) -> None:

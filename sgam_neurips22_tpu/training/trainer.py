@@ -176,8 +176,11 @@ class Trainer:
         self._best_vals_path = os.path.join(logdir, "best_vals.json")
         self._best_vals: list = []
         try:
-            with open(self._best_vals_path) as f:
-                self._best_vals = sorted(json.load(f))[:3]
+            # reconcile with the directory: a wiped/empty checkpoints_best
+            # must not leave stale JSON values permanently gating saves
+            if self.best_ckpt.latest_step() is not None:
+                with open(self._best_vals_path) as f:
+                    self._best_vals = sorted(json.load(f))[:3]
         except (OSError, ValueError):
             pass
         if install_signals:
@@ -249,8 +252,11 @@ class Trainer:
                         )
                     if self.images.should_log(step):
                         self._log_images(batch, "train", step)
-                    if self.ckpt.should_save(step):
-                        self.ckpt.save(step, jax.device_get(self.state))
+                    # label with the POST-step counter so the checkpoint's
+                    # label matches its state['step'] (as the emergency and
+                    # final saves do)
+                    if self.ckpt.should_save(host_step):
+                        self.ckpt.save(host_step, self._host_state())
                     if self.max_steps and step >= self.max_steps:
                         self.validate()
                         self.test()
@@ -264,14 +270,25 @@ class Trainer:
             self._emergency_save()
             raise
 
+    def _host_state(self):
+        """device_get of the full train state, memoized per step: through the
+        remote-TPU tunnel one fetch is ~minutes for ~1 GB (NOTES.md), and
+        end-of-fit would otherwise fetch twice (best save + final save)."""
+        step = int(self.state["step"])
+        cached = getattr(self, "_host_state_cache", None)
+        if cached is None or cached[0] != step:
+            self._host_state_cache = (step, jax.device_get(self.state))
+        return self._host_state_cache[1]
+
     def _final_save(self) -> None:
         """Persist the end-of-fit state regardless of the save interval (the
         reference's ModelCheckpoint save_last keeps last.ckpt current), so
         --resume continues from where training actually stopped."""
         step = int(self.state["step"])
         if self.ckpt.latest_step() != step:
-            self.ckpt.save(step, jax.device_get(self.state), force=True)
+            self.ckpt.save(step, self._host_state(), force=True)
         self.ckpt.wait()
+        self._host_state_cache = None
 
     def test(self) -> None:
         """Run the test split after fit (reference trainer.test, train CLI
@@ -309,7 +326,7 @@ class Trainer:
                 vals = self._best_vals
                 if len(vals) < 3 or out[self.monitor] < max(vals):
                     self.best_ckpt.save(
-                        step, jax.device_get(self.state), metrics=out, force=True
+                        step, self._host_state(), metrics=out, force=True
                     )
                     self._best_vals = sorted([*vals, out[self.monitor]])[:3]
                     try:

@@ -337,3 +337,25 @@ def test_integrate_stride_renders_like_full_res():
     c1, c2 = rendered[1][8:40, 8:40], rendered[2][8:40, 8:40]
     assert (c2 > 0).all(), "stride-2 map must still cover the wall"
     np.testing.assert_allclose(c2, c1, atol=0.05)
+
+
+def test_chunk_skip_matches_unchunked_render():
+    """With the pool entirely inside chunk 0, the lax.cond skip of the empty
+    second chunk must produce exactly the single-chunk render."""
+    from dataclasses import replace
+
+    from sgam_neurips22_tpu.mapping.tsdf import (
+        MAX_POOL_CAPACITY,
+        _render_depth_splat,
+    )
+
+    d, rgb = flat_wall_frame(3.0)
+    outs = {}
+    for cap in (1 << 15, MAX_POOL_CAPACITY + 4096):
+        cfg = replace(CFG, pool_capacity=cap)
+        vol = integrate(create_volume(cfg), cfg, d, rgb, K, jnp.eye(4))
+        assert int(vol.pool_count) < (1 << 15)
+        outs[cap] = np.asarray(
+            _render_depth_splat(vol, cfg, K, jnp.eye(4), (H, W), 1.0, 5.0)
+        )
+    np.testing.assert_array_equal(outs[1 << 15], outs[MAX_POOL_CAPACITY + 4096])

@@ -150,3 +150,18 @@ def test_lr_scaling_matches_reference_formula(codebook_dataset_dir, tmp_path):
     assert tr1.train_cfg.learning_rate == pytest.approx(tr.train_cfg.learning_rate)
     tr.metrics.close()
     tr1.metrics.close()
+
+
+def test_deferred_actions_run_after_save(tmp_path):
+    """Signal actions queued while a checkpoint save is in flight execute
+    right after that save finalizes (core.checkpoint deferral protocol)."""
+    from sgam_neurips22_tpu.core import checkpoint as cp
+
+    ran = []
+    mgr = cp.CheckpointManager(str(tmp_path / "ck"), save_interval_steps=1)
+    cp._DEFERRED.append(lambda: ran.append("after"))
+    mgr.save(0, {"a": np.zeros(2, np.float32)}, force=True)
+    assert ran == ["after"]
+    assert not cp._DEFERRED
+    mgr.wait()
+    assert mgr.latest_step() == 0
