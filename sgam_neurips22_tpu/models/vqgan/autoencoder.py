@@ -14,7 +14,7 @@ convolutional and input-size agnostic.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List
 
 import jax
