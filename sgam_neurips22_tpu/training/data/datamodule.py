@@ -98,6 +98,10 @@ class Loader:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        # bound NOW: at interpreter shutdown the queue module's globals may
+        # already be cleared, and a late `queue.Empty` lookup in the
+        # generator's finally would raise its own TypeError
+        empty_exc = queue.Empty
         cancelled = threading.Event()
         pool = (
             ThreadPoolExecutor(self.workers, thread_name_prefix="loader")
@@ -130,6 +134,13 @@ class Loader:
                     if not put_or_cancel(batch):
                         return
                 put_or_cancel(stop)
+            except RuntimeError as e:
+                # pool shutdown mid-assemble (early consumer exit or
+                # interpreter teardown) is expected cancellation, not an
+                # error to surface
+                if "shutdown" in str(e) and (cancelled.is_set() or pool is None or pool._shutdown):
+                    return
+                put_or_cancel(e)
             except BaseException as e:  # propagate to the consumer
                 put_or_cancel(e)
 
@@ -149,7 +160,7 @@ class Loader:
             try:
                 while True:
                     q.get_nowait()
-            except queue.Empty:
+            except empty_exc:
                 pass
             t.join(timeout=5.0)
             if pool is not None:
