@@ -241,6 +241,19 @@ def main() -> None:
         )
         depth_lo, depth_hi = 0.5, 4.0
     params = init_vqmodel(jax.random.PRNGKey(0), model_cfg)
+    # reference-layout trained checkpoint, when present (weight values do
+    # not change the compute graph or its speed; this makes the bench's
+    # output frames meaningful when the published ckpts are available)
+    ckpt_path = f"trained_models/{dataset}/last.ckpt"
+    if os.path.exists(ckpt_path):
+        from sgam_neurips22_tpu.core.torch_convert import (
+            convert_checkpoint,
+            init_from_ckpt,
+        )
+
+        model_np, _, _ = convert_checkpoint(ckpt_path)
+        params = init_from_ckpt(params, model_np)
+        print(f"# loaded weights from {ckpt_path}", flush=True)
 
     if args.config == "google_earth":
         rows, cols = args.frames + 1, 1  # long aerial trajectory (ref 100x1)
