@@ -44,6 +44,9 @@ def _enable_compilation_cache():
     """Persistent XLA compilation cache (first compile of the flagship
     unroll is minutes; repeats become seconds)."""
     try:
+        from sgam_neurips22_tpu.core.platform import apply_platform_env
+
+        apply_platform_env()
         import jax
 
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
@@ -181,6 +184,10 @@ def main() -> None:
                         "float32 = checkpoint-parity mode.")
     p.add_argument("--tsdf_stride", type=int, default=1,
                    help="map-requery: fuse every s-th ray (1 = exact/reference)")
+    p.add_argument("--tsdf_band", type=int, default=0,
+                   help="map-requery: fused band half-width in voxels "
+                        "(0 = auto from sdf_trunc; the band scatter is the "
+                        "dominant integrate cost and scales linearly)")
     p.add_argument("--profile", default=None)
     p.add_argument("--matmul_precision", default=None,
                    choices=["bfloat16", "default", "float32", "highest"],
@@ -270,6 +277,7 @@ def main() -> None:
         topk=1,
         use_rgbd_integration=args.rgbd_integration,
         tsdf_integrate_stride=args.tsdf_stride,
+        tsdf_band_voxels=args.tsdf_band or None,
     )
     # use the reference's real seed template when its checkout is present
     # (realistic depth statistics for the map/pool); random fallback

@@ -38,7 +38,10 @@ def load_pairs(gen_dir: str, gt_dir: str):
 
 
 def main() -> None:
+    from sgam_neurips22_tpu.core.platform import apply_platform_env
     from sgam_neurips22_tpu.utils.metrics import psnr, ssim
+
+    apply_platform_env()
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("generated")

@@ -56,6 +56,26 @@ _CLAIM_POS_BITS = 18
 CLAIM_MAX_FRAMES = (1 << (31 - _CLAIM_POS_BITS)) - 1  # 8191
 
 
+def validate_ray_budget(image_size: Tuple[int, int], stride: int) -> None:
+    """Fail FAST (config time, not deep inside a jitted unroll) when the
+    per-frame fused-ray count exceeds the claim-key capacity.
+
+    512x512 at stride 1 sits exactly at the 2^18 limit; anything larger
+    needs `tsdf_integrate_stride` >= ceil(max(H, W)/512)."""
+    h, w = image_size
+    rays = -(-h // stride) * (-(-w // stride))
+    if rays > (1 << _CLAIM_POS_BITS):
+        need = 1
+        while (-(-h // need)) * (-(-w // need)) > (1 << _CLAIM_POS_BITS):
+            need += 1
+        raise ValueError(
+            f"rgbd integration at {h}x{w} with tsdf_integrate_stride={stride} "
+            f"fuses {rays} rays/frame, over the 2^{_CLAIM_POS_BITS} claim-key "
+            f"capacity; set tsdf_integrate_stride>={need} (voxel footprints "
+            f"span ~2 px at working depths, so stride 2 is near-lossless)"
+        )
+
+
 @dataclass(frozen=True)
 class TSDFConfig:
     dims: Tuple[int, int, int]  # voxels per axis (X, Y, Z)

@@ -49,6 +49,7 @@ from sgam_neurips22_tpu.mapping.tsdf import (
     fusion_fraction,
     integrate,
     render_depth,
+    validate_ray_budget,
 )
 from sgam_neurips22_tpu.models.conditioning import get_x
 from sgam_neurips22_tpu.models.vqgan.model import VQModelConfig, forward
@@ -95,6 +96,12 @@ class SceneGenConfig:
     # fuse every s-th ray into the map (1 = reference behavior; the band
     # scatter cost scales 1/s^2 — see mapping.tsdf.integrate)
     tsdf_integrate_stride: int = 1
+    # fused band half-width in voxels (None = auto from sdf_trunc/voxel,
+    # capped at 8); the band scatter is the dominant map-requery cost and
+    # scales linearly with the band, so band 4 is the production knob —
+    # the splat renderer's sub-voxel refinement only needs the field one
+    # voxel around the crossing (tests pin band-4 vs band-8 render parity)
+    tsdf_band_voxels: Optional[int] = None
     raycast_samples: int = 192
     # map re-query renderer: 'splat' = O(surface pool) packed z-buffer (the
     # fast path); 'raycast' = classic ray marching (O(rays x samples))
@@ -131,6 +138,9 @@ def _tsdf_config(
     cfg: SceneGenConfig, grid: PoseGrid, depth_range: Tuple[float, float]
 ) -> TSDFConfig:
     base = DEFAULT_TSDF[cfg.dataset]
+    # surface the stride/resolution guidance BEFORE any compilation
+    # (integrate() would otherwise raise at trace time, deep in the unroll)
+    validate_ray_budget(cfg.image_resolution, cfg.tsdf_integrate_stride)
     if cfg.tsdf_dims is not None:
         if cfg.tsdf_origin is not None:
             origin = cfg.tsdf_origin
@@ -146,6 +156,7 @@ def _tsdf_config(
             origin=origin,
             pool_capacity=cfg.tsdf_pool_capacity or (1 << 19),
             integrate_stride=cfg.tsdf_integrate_stride,
+            band_voxels=cfg.tsdf_band_voxels,
         )
     # auto: contain the full trajectory ∪ viewing-frustum hull (the
     # reference's ScalableTSDFVolume is unbounded, inference_pipeline.py:122)
@@ -160,6 +171,7 @@ def _tsdf_config(
         mem_cap_bytes=cfg.tsdf_mem_cap_gb * 1e9,
         pool_capacity=cfg.tsdf_pool_capacity,
         integrate_stride=cfg.tsdf_integrate_stride,
+        band_voxels=cfg.tsdf_band_voxels,
     )
 
 

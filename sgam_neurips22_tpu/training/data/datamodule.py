@@ -10,6 +10,7 @@ the next batch is assembled and transferred while the step runs).
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -73,6 +74,10 @@ class Loader:
         return idx
 
     def _assemble(self, idxs, rng, pool) -> Dict[str, np.ndarray]:
+        if hasattr(self.dataset, "assemble_batch"):
+            # packed-shard fast path: one native call builds the whole batch
+            # in C++ threads (no per-example Python, no thread pool)
+            return self.dataset.assemble_batch(idxs)
         rngs = rng.spawn(len(idxs))
 
         def get_one(i, r):
@@ -138,7 +143,9 @@ class Loader:
                 # pool shutdown mid-assemble (early consumer exit or
                 # interpreter teardown) is expected cancellation, not an
                 # error to surface
-                if "shutdown" in str(e) and (cancelled.is_set() or pool is None or pool._shutdown):
+                if "shutdown" in str(e) and (
+                    cancelled.is_set() or (pool is not None and pool._shutdown)
+                ):
                     return
                 put_or_cancel(e)
             except BaseException as e:  # propagate to the consumer
@@ -187,6 +194,7 @@ class DataModule:
         use_depth: bool = True,
         seed: int = 0,
         device_put=None,
+        packed: str | bool = "auto",
         **_: Any,
     ):
         self.batch_size = batch_size
@@ -197,15 +205,50 @@ class DataModule:
             self.train_ds = cls("train", dataset_dir, n_src, image_resolution)
             self.val_ds = cls("val", dataset_dir, n_src, image_resolution)
         elif phase == "codebook":
-            self.train_ds = CodebookDataset(
-                "train", dataset_dir, dataset, image_resolution, use_depth=use_depth
+            self.train_ds = self._codebook_ds(
+                "train", dataset_dir, dataset, image_resolution, use_depth, packed
             )
-            self.val_ds = CodebookDataset(
-                "val", dataset_dir, dataset, image_resolution, use_depth=use_depth
+            self.val_ds = self._codebook_ds(
+                "val", dataset_dir, dataset, image_resolution, use_depth, packed
             )
         else:
             raise NotImplementedError(phase)
         self.test_ds = self.val_ds  # reference :281
+
+    @staticmethod
+    def _codebook_ds(split, dataset_dir, dataset, image_resolution, use_depth, packed):
+        """Prefer a packed SGPK shard (tools/pack_dataset.py) when present:
+        native C++ batch assembly, bit-identical examples. packed=True
+        requires the shard; 'auto' falls back to per-PNG decode; False
+        disables the packed path."""
+        from sgam_neurips22_tpu.training.data.packed import (
+            PackedCodebookDataset,
+            shard_path,
+        )
+
+        if packed:
+            path = shard_path(dataset_dir, split, image_resolution)
+            if os.path.exists(path):
+                try:
+                    ds = PackedCodebookDataset(path)
+                    want = 4 if use_depth else 3
+                    if ds.channels != want:
+                        ds.close()
+                        raise OSError(
+                            f"shard has {ds.channels} channels, config wants {want}"
+                        )
+                    return ds
+                except OSError as e:
+                    if packed is True:
+                        raise
+                    print(f"packed shard unusable ({e}); falling back to PNGs")
+            elif packed is True:
+                raise FileNotFoundError(
+                    f"packed=True but no shard at {path}; run tools/pack_dataset.py"
+                )
+        return CodebookDataset(
+            split, dataset_dir, dataset, image_resolution, use_depth=use_depth
+        )
 
     def train_loader(self) -> Loader:
         return Loader(

@@ -1,0 +1,136 @@
+"""Packed RGB-D shards: native (C++) batch assembly for the codebook phase.
+
+The reference's data path is torch's DataLoader — native worker processes
+decoding a PNG + a .npy per example on every epoch (data/base.py:30-188).
+The TPU-native equivalent decodes/resizes/disparity-encodes ONCE
+(tools/pack_dataset.py) into a flat mmap-able shard, and assembles
+ready-to-upload float32 NHWC batches from it in C++ threads
+(native/packed_loader.cpp) — no per-example Python, no per-epoch decode.
+
+Batches are bit-identical to `CodebookDataset` (the shard stores the
+post-resize uint8 RGB and the final float32 disparity channel; the C++
+assembler applies the same `v / 127.5 - 1` float32 ops numpy does).
+
+Usage:
+    python tools/pack_dataset.py --dataset_dir D --dataset clevr-infinite
+    # writes D/train_256x256.sgpk and D/val_256x256.sgpk; DataModule then
+    # picks them up automatically for the codebook phase (packed='auto').
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Dict, Sequence
+
+import numpy as np
+
+MAGIC = b"SGPKv01\x00"
+HEADER = np.dtype(
+    [("magic", "S8"), ("n", "<u4"), ("h", "<u4"), ("w", "<u4"), ("flags", "<u4")]
+)
+
+
+def shard_path(dataset_dir: str, split: str, resolution) -> str:
+    h, w = resolution
+    return os.path.join(dataset_dir, f"{split}_{h}x{w}.sgpk")
+
+
+def write_shard(
+    path: str, rgb_u8: Sequence[np.ndarray], disparity: Sequence[np.ndarray] | None
+) -> None:
+    """Write a shard from per-record arrays (rgb [H,W,3] u8; disparity
+    [H,W] f32 or None for RGB-only)."""
+    n = len(rgb_u8)
+    if n == 0:
+        raise ValueError("empty shard")
+    h, w = rgb_u8[0].shape[:2]
+    has_depth = disparity is not None
+    hdr = np.zeros((), HEADER)
+    hdr["magic"] = MAGIC
+    hdr["n"], hdr["h"], hdr["w"] = n, h, w
+    hdr["flags"] = 1 if has_depth else 0
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(hdr.tobytes())
+        for i in range(n):
+            rgb = np.ascontiguousarray(rgb_u8[i], np.uint8)
+            if rgb.shape != (h, w, 3):
+                raise ValueError(f"record {i} rgb shape {rgb.shape} != {(h, w, 3)}")
+            f.write(rgb.tobytes())
+            if has_depth:
+                d = np.ascontiguousarray(disparity[i], "<f4")
+                if d.shape != (h, w):
+                    raise ValueError(f"record {i} disparity shape {d.shape} != {(h, w)}")
+                f.write(d.tobytes())
+    os.replace(tmp, path)  # atomic: never leave a half-written shard
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.sgpk_open.restype = ctypes.c_void_p
+    lib.sgpk_open.argtypes = [ctypes.c_char_p]
+    lib.sgpk_close.argtypes = [ctypes.c_void_p]
+    for f in (lib.sgpk_count, lib.sgpk_height, lib.sgpk_width, lib.sgpk_channels):
+        f.restype = ctypes.c_int64
+        f.argtypes = [ctypes.c_void_p]
+    lib.sgpk_assemble.restype = ctypes.c_int32
+    lib.sgpk_assemble.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+    ]
+    return lib
+
+
+class PackedCodebookDataset:
+    """Codebook-phase dataset over a packed shard. Implements the standard
+    per-example protocol AND `assemble_batch`, which the Loader prefers:
+    one C++ call builds the whole [B, H, W, C] float32 batch."""
+
+    def __init__(self, path: str, threads: int = 0):
+        from sgam_neurips22_tpu.mapping.mesh import _load_lib
+
+        self._lib = _bind(_load_lib())
+        self._h = self._lib.sgpk_open(path.encode())
+        if not self._h:
+            raise OSError(f"not a readable SGPK shard: {path}")
+        self.path = path
+        self.threads = threads
+        self.height = int(self._lib.sgpk_height(self._h))
+        self.width = int(self._lib.sgpk_width(self._h))
+        self.channels = int(self._lib.sgpk_channels(self._h))
+        self._n = int(self._lib.sgpk_count(self._h))
+
+    def __len__(self) -> int:
+        return self._n
+
+    def assemble_batch(self, idxs) -> Dict[str, np.ndarray]:
+        idx = np.ascontiguousarray(idxs, np.int64)
+        out = np.empty(
+            (len(idx), self.height, self.width, self.channels), np.float32
+        )
+        rc = self._lib.sgpk_assemble(
+            self._h,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.threads,
+        )
+        if rc != 0:
+            raise IndexError(f"shard index out of range (n={self._n}): {idxs}")
+        return {"image": out}
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        return {"image": self.assemble_batch([i])["image"][0]}
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.sgpk_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass

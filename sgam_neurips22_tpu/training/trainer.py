@@ -40,6 +40,16 @@ from sgam_neurips22_tpu.training.train_step import (
 from sgam_neurips22_tpu.utils.logging import ImageLogger, MetricLogger
 
 
+def monitor_improves(val: float, kept: list, mode: str, top_k: int = 3) -> bool:
+    """Host-side top-k candidate gate: would `val` enter the kept top-k?
+    (Only then is the ~1 GB device->host state fetch for a best-checkpoint
+    save worth paying.) `mode` follows the reference ModelCheckpoint:
+    'min' keeps the smallest values, 'max' the largest."""
+    if len(kept) < top_k:
+        return True
+    return val < max(kept) if mode == "min" else val > min(kept)
+
+
 def train_config_from_yaml(cfg: ConfigDict) -> TrainConfig:
     """Build TrainConfig from a reference-schema YAML tree."""
     mp = cfg.model.params
@@ -162,11 +172,18 @@ class Trainer:
         # top-k by monitored val metric (reference ModelCheckpoint,
         # train CLI :124-140; monitor defaults to val/rec_loss)
         self.monitor = cfg.model.params.get("monitor", "val/rec_loss")
+        # direction of the monitored metric; the reference's ModelCheckpoint
+        # defaults to mode="min" (all its monitors are losses) but accepts
+        # either — a "max" monitor (e.g. PSNR) must not silently stop saving
+        self.monitor_mode = str(cfg.model.params.get("monitor_mode", "min"))
+        if self.monitor_mode not in ("min", "max"):
+            raise ValueError(f"monitor_mode must be 'min' or 'max', got {self.monitor_mode!r}")
         self.best_ckpt = CheckpointManager(
             os.path.join(logdir, "checkpoints_best"),
             save_interval_steps=1,
             max_to_keep=3,
             monitor=self.monitor,
+            best_mode=self.monitor_mode,
         )
         # top-k gate values persist next to the checkpoints: a restarted run
         # must not re-pay the ~1 GB device fetch for non-improving
@@ -180,7 +197,9 @@ class Trainer:
             # must not leave stale JSON values permanently gating saves
             if self.best_ckpt.latest_step() is not None:
                 with open(self._best_vals_path) as f:
-                    self._best_vals = sorted(json.load(f))[:3]
+                    self._best_vals = sorted(
+                    json.load(f), reverse=self.monitor_mode == "max"
+                )[:3]
         except (OSError, ValueError):
             pass
         if install_signals:
@@ -193,7 +212,10 @@ class Trainer:
         try:
             step = int(self.state["step"])
             if self.ckpt.latest_step() == step:
-                return  # this step is already persisted
+                # the save for this step may still be committing
+                # asynchronously — finalize it before declaring safety
+                self.ckpt.wait()
+                return
             self.ckpt.save(step, jax.device_get(self.state), force=True)
             self.ckpt.wait()
         except Exception as e:  # pragma: no cover - best effort
@@ -324,11 +346,14 @@ class Trainer:
                 # tunnel) plus a write. Only fetch when this value would
                 # enter the kept top-k.
                 vals = self._best_vals
-                if len(vals) < 3 or out[self.monitor] < max(vals):
+                val = out[self.monitor]
+                if monitor_improves(val, vals, self.monitor_mode):
                     self.best_ckpt.save(
                         step, self._host_state(), metrics=out, force=True
                     )
-                    self._best_vals = sorted([*vals, out[self.monitor]])[:3]
+                    self._best_vals = sorted(
+                        [*vals, val], reverse=self.monitor_mode == "max"
+                    )[:3]
                     try:
                         with open(self._best_vals_path, "w") as f:
                             json.dump(self._best_vals, f)

@@ -18,6 +18,10 @@ CPU_ENV = {
     "JAX_PLATFORMS": "cpu",
     "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
 }
+# the axon sitecustomize registers a remote-TPU PJRT plugin when this var is
+# set, and plugin registration can claim the default backend regardless of
+# JAX_PLATFORMS — drop it so CLI subprocesses genuinely run on CPU
+CPU_ENV.pop("PALLAS_AXON_POOL_IPS", None)
 
 
 def make_codebook_data(root):

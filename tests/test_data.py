@@ -1,6 +1,7 @@
 """Data layer tests with synthetic on-disk datasets."""
 import json
 import os
+import time
 
 import numpy as np
 import pytest
@@ -124,6 +125,26 @@ def test_encode_disparity_ranges():
     assert disp.max() <= 1 + 1e-6 and disp.min() >= -1 - 1e-6
 
 
+class _ShutdownMsgDataset:
+    """Dataset whose failure message happens to contain 'shutdown'."""
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, i):
+        raise RuntimeError("database connection lost during shutdown handshake")
+
+
+@pytest.mark.parametrize("workers", [1, 4])
+def test_loader_propagates_shutdown_worded_errors(workers):
+    """A genuine dataset error whose message contains 'shutdown' must reach
+    the consumer (not be swallowed by the pool-cancellation filter, which
+    would leave the consumer blocked on q.get() forever)."""
+    loader = Loader(_ShutdownMsgDataset(), batch_size=2, workers=workers)
+    with pytest.raises(RuntimeError, match="handshake"):
+        next(iter(loader))
+
+
 def test_loader_early_exit_stops_producer(clevr_dataset_dir):
     """Breaking out of an epoch (max_steps) must stop the prefetch thread
     rather than leaving it blocked on a full queue."""
@@ -135,4 +156,9 @@ def test_loader_early_exit_stops_producer(clevr_dataset_dir):
         it = iter(Loader(ds, batch_size=1, prefetch=1))
         next(it)
         it.close()  # generator finally -> cancel + drain + join
+    # pool.shutdown(wait=False) lets worker threads wind down
+    # asynchronously — poll with a deadline instead of asserting instantly
+    deadline = time.monotonic() + 10.0
+    while threading.active_count() > before + 1 and time.monotonic() < deadline:
+        time.sleep(0.05)
     assert threading.active_count() <= before + 1

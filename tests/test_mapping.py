@@ -1,5 +1,6 @@
 """TSDF mapping tests: scatter-band fusion, splat/raycast re-render,
 auto-sized volumes (scalability), fusion telemetry, PLY export."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -359,3 +360,46 @@ def test_chunk_skip_matches_unchunked_render():
             _render_depth_splat(vol, cfg, K, jnp.eye(4), (H, W), 1.0, 5.0)
         )
     np.testing.assert_array_equal(outs[1 << 15], outs[MAX_POOL_CAPACITY + 4096])
+
+
+def test_ray_budget_validated_before_compile():
+    """Over-budget resolution/stride combos fail at config time with
+    actionable stride guidance, not at trace time inside the unroll."""
+    from sgam_neurips22_tpu.mapping.tsdf import validate_ray_budget
+    from sgam_neurips22_tpu.pipeline.scene_generation import (
+        SceneGenConfig, _build_grid, _tsdf_config,
+    )
+
+    validate_ray_budget((512, 512), 1)  # exactly at the 2^18 limit
+    validate_ray_budget((768, 768), 2)
+    with pytest.raises(ValueError, match="tsdf_integrate_stride>=2"):
+        validate_ray_budget((768, 768), 1)
+
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2),
+        image_resolution=(768, 768), use_rgbd_integration=True,
+    )
+    grid = _build_grid(cfg)
+    with pytest.raises(ValueError, match="tsdf_integrate_stride"):
+        _tsdf_config(cfg, grid, (7.0, 16.0))
+
+
+def test_band4_renders_like_band8():
+    """Shrinking the fused band to 4 voxels (the production knob: the band
+    scatter dominates integrate cost and scales linearly with band width)
+    must not change the rendered surface — the splat refinement only needs
+    the field one voxel around the crossing."""
+    from dataclasses import replace
+
+    depth, rgb = flat_wall_frame(3.0)
+    ext = jnp.eye(4)
+    rendered = {}
+    for b in (None, 4):
+        cfg = replace(CFG, band_voxels=b)
+        vol = integrate(create_volume(cfg), cfg, depth, rgb, K, ext)
+        rendered[b] = np.asarray(
+            render_depth(vol, cfg, K, ext, (H, W), near=1.0, far=5.0)
+        )
+    c8, c4 = rendered[None][8:40, 8:40], rendered[4][8:40, 8:40]
+    assert (c4 > 0).all(), "band-4 map must still cover the wall"
+    np.testing.assert_allclose(c4, c8, atol=0.05)

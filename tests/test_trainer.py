@@ -165,3 +165,34 @@ def test_deferred_actions_run_after_save(tmp_path):
     assert not cp._DEFERRED
     mgr.wait()
     assert mgr.latest_step() == 0
+
+
+def test_monitor_improves_gate_both_modes():
+    """Host-side best-checkpoint gate must respect the monitor direction
+    (a 'max' monitor like PSNR must not silently stop saving after the
+    first top-k fills)."""
+    from sgam_neurips22_tpu.training.trainer import monitor_improves
+
+    # fills freely below k
+    assert monitor_improves(5.0, [], "min")
+    assert monitor_improves(5.0, [1.0, 2.0], "max")
+    # min: only values under the current worst enter
+    assert monitor_improves(1.5, [1.0, 2.0, 3.0], "min")
+    assert not monitor_improves(3.5, [1.0, 2.0, 3.0], "min")
+    # max: only values over the current worst enter
+    assert monitor_improves(2.5, [1.0, 2.0, 3.0], "max")
+    assert not monitor_improves(0.5, [1.0, 2.0, 3.0], "max")
+
+
+def test_monitor_mode_threads_through_trainer(codebook_dataset_dir, tmp_path):
+    from sgam_neurips22_tpu.training.trainer import Trainer
+
+    cfg = make_cfg(codebook_dataset_dir)
+    cfg.model.params["monitor_mode"] = "max"
+    tr = Trainer(cfg, str(tmp_path / "mm"), use_wandb=False, install_signals=False)
+    assert tr.monitor_mode == "max"
+    tr.metrics.close()
+
+    cfg.model.params["monitor_mode"] = "up"
+    with pytest.raises(ValueError, match="monitor_mode"):
+        Trainer(cfg, str(tmp_path / "mm2"), use_wandb=False, install_signals=False)

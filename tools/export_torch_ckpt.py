@@ -13,6 +13,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sgam_neurips22_tpu.core.platform import apply_platform_env
+
+apply_platform_env()  # honor JAX_PLATFORMS even with eager PJRT plugins
+
 import argparse
 import os
 import pickle

@@ -20,6 +20,9 @@ def _enable_compilation_cache():
     """Persistent XLA compilation cache (first compile of the flagship
     unroll is minutes; repeats become seconds)."""
     try:
+        from sgam_neurips22_tpu.core.platform import apply_platform_env
+
+        apply_platform_env()
         import jax
 
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
