@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import jax
@@ -161,6 +162,72 @@ def bench_train(phase: str, bs_override: int = 0, dtype: str = "float32") -> dic
     return record
 
 
+def bench_data_loader(n_images: int = 512, bs: int = 16) -> dict:
+    """Host data-path throughput: packed SGPK shard + native C++ batch
+    assembly vs the per-PNG decode pipeline (the reference's torch
+    DataLoader equivalent). Runs on a synthetic 256^2 RGB-D dataset;
+    vs_baseline = speedup over the PNG path on the same host."""
+    import shutil
+    import tempfile
+
+    from PIL import Image
+
+    from sgam_neurips22_tpu.training.data.codebook_dataset import CodebookDataset
+    from sgam_neurips22_tpu.training.data.datamodule import Loader
+    from sgam_neurips22_tpu.training.data.packed import (
+        PackedCodebookDataset,
+        shard_path,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sgam_loader_bench_")
+    try:
+        rng = np.random.default_rng(0)
+        scene = os.path.join(tmp, "train", "scene")
+        os.makedirs(scene)
+        np.save(
+            os.path.join(tmp, "K.npy"),
+            np.array([[355.5, 0, 128.0], [0, 355.5, 128.0], [0, 0, 1.0]]),
+        )
+        paths = []
+        base = rng.uniform(0, 255, (256, 256, 3)).astype(np.uint8)
+        dm = rng.uniform(8, 14, (256, 256)).astype(np.float32)
+        for i in range(n_images):
+            img = np.roll(base, i, axis=1)  # distinct but cheap to synthesize
+            Image.fromarray(img).save(os.path.join(scene, f"im_{i:05d}.png"))
+            np.save(os.path.join(scene, f"dm_{i:05d}.npy"), dm)
+            paths.append(os.path.join(scene, f"im_{i:05d}.png"))
+        with open(os.path.join(tmp, "train.txt"), "w") as f:
+            f.write("\n".join(paths))
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from pack_dataset import pack_split
+
+        png_ds = CodebookDataset("train", tmp, "clevr-infinite", (256, 256))
+        pack_split(png_ds, shard_path(tmp, "train", (256, 256)), use_depth=True)
+        packed_ds = PackedCodebookDataset(shard_path(tmp, "train", (256, 256)))
+
+        def epoch_rate(ds) -> float:
+            n = 0
+            t0 = time.perf_counter()
+            for batch in Loader(ds, batch_size=bs, shuffle=True, seed=1):
+                n += len(batch["image"])
+            return n / (time.perf_counter() - t0)
+
+        png_rate = min(epoch_rate(png_ds), epoch_rate(png_ds))
+        packed_rate = min(epoch_rate(packed_ds), epoch_rate(packed_ds))
+        packed_ds.close()
+        return {
+            "metric": "packed-shard loader images/sec (native C++ assembly, "
+                      "256^2 RGB-D, host CPU)",
+            "value": round(packed_rate, 1),
+            "unit": "images/sec",
+            "vs_baseline": round(packed_rate / png_rate, 2),
+            "png_pipeline_images_per_sec": round(png_rate, 1),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=100)
@@ -194,7 +261,8 @@ def main() -> None:
                    help="jax default_matmul_precision for the whole run")
     p.add_argument("--config", default="flythrough",
                    choices=["flythrough", "vqgan", "step", "integration",
-                            "google_earth", "train_codebook", "train_conditional"],
+                            "google_earth", "train_codebook",
+                            "train_conditional", "data_loader"],
                    help="BASELINE.json benchmark config: vqgan=#1 roundtrip, "
                         "step=#2 single conditional step (frames=2), "
                         "integration=#3 8-pose RGB-D integration, "
@@ -209,6 +277,9 @@ def main() -> None:
 
     if args.config == "vqgan":
         print(json.dumps(bench_vqgan_roundtrip()))
+        return
+    if args.config == "data_loader":
+        print(json.dumps(bench_data_loader()))
         return
     if args.config.startswith("train_"):
         phase = {"codebook": "codebook", "conditional": "conditional_generation"}[

@@ -180,6 +180,6 @@ int64_t tsdf_extract_mesh(const float *tsdf, const float *weight,
 
 // Bumped on any extern-C signature change; the ctypes loader refuses a
 // mismatched (stale) library instead of calling through a wrong ABI.
-int32_t sgam_native_abi_version() { return 3; }  // 3: + packed_loader sgpk_* entry points
+int32_t sgam_native_abi_version() { return 4; }  // 4: + sgpk_gather (split rgb/depth outputs)
 
 }  // extern "C"

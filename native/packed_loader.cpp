@@ -173,4 +173,49 @@ int32_t sgpk_assemble(void* h, const int64_t* idx, int64_t n, float* out,
   return 0;
 }
 
+// Gather records idx[0..n) into SEPARATE buffers: rgb_out [n, H, W, 3]
+// float32 (scaled to [-1, 1]) and depth_out [n, H, W] float32 (the stored
+// channel copied verbatim; pass nullptr to skip). The pair-dataset frame
+// store uses this: examples need rgb and depth as separate arrays.
+int32_t sgpk_gather(void* h, const int64_t* idx, int64_t n, float* rgb_out,
+                    float* depth_out, int32_t threads) {
+  const Shard* s = static_cast<const Shard*>(h);
+  for (int64_t i = 0; i < n; ++i)
+    if (idx[i] < 0 || static_cast<uint32_t>(idx[i]) >= s->n) return -1;
+  if (depth_out && !s->has_depth) return -2;
+  if (threads <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    threads = hw ? static_cast<int32_t>(hw) : 4;
+  }
+  if (threads > n) threads = static_cast<int32_t>(n);
+  const size_t px = static_cast<size_t>(s->h) * s->w;
+  auto run = [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      const uint8_t* rec =
+          s->records + static_cast<size_t>(idx[b]) * s->rec_bytes;
+      float* dst = rgb_out + static_cast<size_t>(b) * px * 3;
+      for (size_t p = 0; p < px * 3; ++p) dst[p] = kLut.t[rec[p]];
+      if (depth_out) {
+        memcpy(depth_out + static_cast<size_t>(b) * px, rec + s->rgb_bytes,
+               px * sizeof(float));
+      }
+    }
+  };
+  if (threads <= 1) {
+    run(0, n);
+    return 0;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  const int64_t per = (n + threads - 1) / threads;
+  for (int32_t t = 0; t < threads; ++t) {
+    const int64_t lo = t * per;
+    const int64_t hi = std::min<int64_t>(lo + per, n);
+    if (lo >= hi) break;
+    pool.emplace_back(run, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
 }  // extern "C"

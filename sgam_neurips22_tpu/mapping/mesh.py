@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_ABI_VERSION = 3  # must match native sgam_native_abi_version()
+_ABI_VERSION = 4  # must match native sgam_native_abi_version()
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libsgam_native.so"))
 _lib: Optional[ctypes.CDLL] = None

@@ -90,10 +90,18 @@ class TSDFConfig:
     # integrate every s-th ray (1 = all pixels, the reference behavior); the
     # band scatter is the fusion cost and scales 1/s^2 — see integrate()
     integrate_stride: int = 1
+    # pool-splat chunk granularity: the render scatter costs
+    # O(chunk x chunks_in_use) and chunks entirely beyond pool_count are
+    # skipped (projection AND scatter), so a finer chunk makes early/sparse
+    # frames pay only for the slots actually filled. Must be <= 2^20 (the
+    # packed-key index width).
+    render_chunk: int = 1 << 18
 
     def __post_init__(self):
         if int(np.prod(self.dims)) >= 2**31:
             raise ValueError(f"dims {self.dims} overflow int32 linear indexing")
+        if not (0 < self.render_chunk <= (1 << 20)):
+            raise ValueError(f"render_chunk {self.render_chunk} not in (0, 2^20]")
 
     @property
     def band(self) -> int:
@@ -431,49 +439,56 @@ def _render_depth_splat(
     p = cfg.pool_capacity
     dims = cfg.dims
     ids = vol.pool_ids
-    active = jnp.arange(p, dtype=jnp.int32) < vol.pool_count
-    vz = ids % dims[2]
-    vy = (ids // dims[2]) % dims[1]
-    vx = ids // (dims[1] * dims[2])
-    centers = (
-        jnp.stack([vx, vy, vz], axis=-1).astype(jnp.float32) + 0.5
-    ) * cfg.voxel_size + jnp.asarray(cfg.origin)
     r = extrinsic[:3, :3]
     t = extrinsic[:3, 3]
-    cam = centers @ r.T + t
-    z = cam[..., 2]
-    u = intrinsics[0, 0] * cam[..., 0] / jnp.maximum(z, 1e-6) + intrinsics[0, 2]
-    v = intrinsics[1, 1] * cam[..., 1] / jnp.maximum(z, 1e-6) + intrinsics[1, 2]
-    ui = jnp.floor(u + 0.5).astype(jnp.int32)
-    vi = jnp.floor(v + 0.5).astype(jnp.int32)
-    valid = (
-        active
-        & (z > max(near, 1e-3))
-        & (z < far)
-        & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
-    )
-    pix = jnp.where(valid, vi * w + ui, 0)
-    zq = jnp.clip((z - near) / (far - near) * 4095.0, 0, 4095).astype(jnp.uint32)
+
+    def cam_coords(idc: jnp.ndarray) -> jnp.ndarray:
+        """Linear voxel ids -> camera-frame coordinates of voxel centers."""
+        vz = idc % dims[2]
+        vy = (idc // dims[2]) % dims[1]
+        vx = idc // (dims[1] * dims[2])
+        centers = (
+            jnp.stack([vx, vy, vz], axis=-1).astype(jnp.float32) + 0.5
+        ) * cfg.voxel_size + jnp.asarray(cfg.origin)
+        return centers @ r.T + t
+
     sentinel = jnp.uint32(0xFFFFFFFF)
-    # the packed key indexes 2^20 points; pools beyond that splat in chunks
-    # (cost is linear in capacity either way — the scatter dominates).
-    # Chunks entirely beyond pool_count are skipped via lax.cond: the pool
-    # fills gradually over a scene unroll, so early frames only pay for the
-    # slots actually in use (~10.5 ms per full 2^20 chunk on v5e).
+    # The packed key indexes up to 2^20 points; the pool splats in
+    # cfg.render_chunk-sized pieces and chunks entirely beyond pool_count
+    # are skipped via lax.cond — projection AND scatter. The pool fills
+    # gradually over a scene unroll, so frames pay O(slots in use), not
+    # O(capacity) (a full 2^20-slot chunk costs ~10.5 ms on v5e; a 2^17
+    # chunk ~1/8 of that).
+    chunk = min(p, cfg.render_chunk)
     best = None
     chunk_sel = jnp.zeros((h * w,), jnp.int32)
-    for ci, c0 in enumerate(range(0, p, MAX_POOL_CAPACITY)):
-        c1 = min(c0 + MAX_POOL_CAPACITY, p)
+    for ci, c0 in enumerate(range(0, p, chunk)):
+        c1 = min(c0 + chunk, p)
 
         def scatter_chunk(c0=c0, c1=c1):
-            key = (
-                (zq[c0:c1] << _POOL_IDX_BITS)
-                | jnp.arange(c1 - c0, dtype=jnp.uint32)
+            cam = cam_coords(ids[c0:c1])
+            z = cam[..., 2]
+            zs = jnp.maximum(z, 1e-6)
+            u = intrinsics[0, 0] * cam[..., 0] / zs + intrinsics[0, 2]
+            v = intrinsics[1, 1] * cam[..., 1] / zs + intrinsics[1, 2]
+            ui = jnp.floor(u + 0.5).astype(jnp.int32)
+            vi = jnp.floor(v + 0.5).astype(jnp.int32)
+            active = jnp.arange(c0, c1, dtype=jnp.int32) < vol.pool_count
+            valid = (
+                active
+                & (z > max(near, 1e-3))
+                & (z < far)
+                & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
             )
-            key = jnp.where(valid[c0:c1], key, sentinel)
+            pix = jnp.where(valid, vi * w + ui, 0)
+            zq = jnp.clip(
+                (z - near) / (far - near) * 4095.0, 0, 4095
+            ).astype(jnp.uint32)
+            key = (zq << _POOL_IDX_BITS) | jnp.arange(c1 - c0, dtype=jnp.uint32)
+            key = jnp.where(valid, key, sentinel)
             return (
                 jnp.full((h * w,), sentinel, jnp.uint32)
-                .at[pix[c0:c1]]
+                .at[pix]
                 .min(key, mode="drop")
             )
 
@@ -493,11 +508,13 @@ def _render_depth_splat(
     has = best != sentinel
     idx = jnp.where(
         has,
-        chunk_sel * MAX_POOL_CAPACITY
-        + (best & (MAX_POOL_CAPACITY - 1)).astype(jnp.int32),
+        chunk_sel * chunk + (best & (MAX_POOL_CAPACITY - 1)).astype(jnp.int32),
         0,
     )
-    depth = jnp.where(has, z[idx], 0.0).reshape(h, w)
+    # recompute the winners' depth from their voxel ids (z is no longer
+    # materialized for the whole pool — only per chunk, and only for chunks
+    # in use)
+    depth = jnp.where(has, cam_coords(ids[idx])[..., 2], 0.0).reshape(h, w)
 
     if refine:
         # sub-voxel zero-crossing around the splatted depth: the pool voxel

@@ -202,8 +202,18 @@ class DataModule:
         self.device_put = device_put
         if phase == "conditional_generation":
             cls = PAIR_DATASETS[dataset]
-            self.train_ds = cls("train", dataset_dir, n_src, image_resolution)
-            self.val_ds = cls("val", dataset_dir, n_src, image_resolution)
+            self.train_ds = cls(
+                "train", dataset_dir, n_src, image_resolution,
+                frame_store=self._frame_store(
+                    "train", dataset_dir, image_resolution, packed
+                ),
+            )
+            self.val_ds = cls(
+                "val", dataset_dir, n_src, image_resolution,
+                frame_store=self._frame_store(
+                    "val", dataset_dir, image_resolution, packed
+                ),
+            )
         elif phase == "codebook":
             self.train_ds = self._codebook_ds(
                 "train", dataset_dir, dataset, image_resolution, use_depth, packed
@@ -214,6 +224,32 @@ class DataModule:
         else:
             raise NotImplementedError(phase)
         self.test_ds = self.val_ds  # reference :281
+
+    @staticmethod
+    def _frame_store(split, dataset_dir, image_resolution, packed):
+        """Packed frame store for the pair datasets (tools/pack_dataset.py
+        --phase pair), same packed=True/'auto'/False semantics."""
+        from sgam_neurips22_tpu.training.data.packed import (
+            PackedFrameStore,
+            frame_store_path,
+        )
+
+        if not packed:
+            return None
+        path = frame_store_path(dataset_dir, split, image_resolution)
+        if os.path.exists(path):
+            try:
+                return PackedFrameStore(path)
+            except OSError as e:
+                if packed is True:
+                    raise
+                print(f"packed frame store unusable ({e}); falling back to PNGs")
+        elif packed is True:
+            raise FileNotFoundError(
+                f"packed=True but no frame store at {path}; run "
+                "tools/pack_dataset.py --phase pair"
+            )
+        return None
 
     @staticmethod
     def _codebook_ds(split, dataset_dir, dataset, image_resolution, use_depth, packed):

@@ -36,10 +36,16 @@ def shard_path(dataset_dir: str, split: str, resolution) -> str:
 
 
 def write_shard(
-    path: str, rgb_u8: Sequence[np.ndarray], disparity: Sequence[np.ndarray] | None
+    path: str,
+    rgb_u8: Sequence[np.ndarray],
+    disparity: Sequence[np.ndarray] | None,
+    raw_depth: bool = False,
 ) -> None:
     """Write a shard from per-record arrays (rgb [H,W,3] u8; disparity
-    [H,W] f32 or None for RGB-only)."""
+    [H,W] f32 or None for RGB-only). raw_depth marks the float channel as
+    metric depth (pair-dataset frame stores) rather than encoded disparity
+    (codebook shards) — readers check the flag so the two cannot be
+    confused."""
     n = len(rgb_u8)
     if n == 0:
         raise ValueError("empty shard")
@@ -48,7 +54,7 @@ def write_shard(
     hdr = np.zeros((), HEADER)
     hdr["magic"] = MAGIC
     hdr["n"], hdr["h"], hdr["w"] = n, h, w
-    hdr["flags"] = 1 if has_depth else 0
+    hdr["flags"] = (1 if has_depth else 0) | (2 if raw_depth else 0)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(hdr.tobytes())
@@ -80,7 +86,24 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int32,
     ]
+    lib.sgpk_gather.restype = ctypes.c_int32
+    lib.sgpk_gather.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+    ]
     return lib
+
+
+def read_flags(path: str) -> int:
+    hdr = np.fromfile(path, dtype=HEADER, count=1)
+    # numpy S8 scalars strip trailing NULs — compare against the stripped magic
+    if len(hdr) != 1 or bytes(hdr[0]["magic"]) != MAGIC.rstrip(b"\x00"):
+        raise OSError(f"not an SGPK shard: {path}")
+    return int(hdr[0]["flags"])
 
 
 class PackedCodebookDataset:
@@ -91,6 +114,10 @@ class PackedCodebookDataset:
     def __init__(self, path: str, threads: int = 0):
         from sgam_neurips22_tpu.mapping.mesh import _load_lib
 
+        if read_flags(path) & 2:
+            raise OSError(
+                f"{path} is a raw-depth frame store, not a codebook shard"
+            )
         self._lib = _bind(_load_lib())
         self._h = self._lib.sgpk_open(path.encode())
         if not self._h:
@@ -123,6 +150,78 @@ class PackedCodebookDataset:
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         return {"image": self.assemble_batch([i])["image"][0]}
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.sgpk_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def frame_store_path(dataset_dir: str, split: str, resolution) -> str:
+    h, w = resolution
+    return os.path.join(dataset_dir, f"{split}_frames_{h}x{w}.sgpk")
+
+
+class PackedFrameStore:
+    """Frame-level store for the pair datasets: RGB (u8, post-resize) +
+    metric depth (f32, post ray->z) per frame, gathered into separate f32
+    arrays by C++ threads. A JSON sidecar maps '<scene>/<im_XXXXX.png>' to
+    record ids; pose-graph sampling and the relative-transform math stay in
+    Python (they are microseconds — the decode was the cost)."""
+
+    def __init__(self, path: str, threads: int = 0):
+        import json
+
+        from sgam_neurips22_tpu.mapping.mesh import _load_lib
+
+        flags = read_flags(path)
+        if not (flags & 1) or not (flags & 2):
+            raise OSError(f"{path} is not a raw-depth frame store")
+        self._lib = _bind(_load_lib())
+        self._h = self._lib.sgpk_open(path.encode())
+        if not self._h:
+            raise OSError(f"not a readable SGPK shard: {path}")
+        self.path = path
+        self.threads = threads
+        self.height = int(self._lib.sgpk_height(self._h))
+        self.width = int(self._lib.sgpk_width(self._h))
+        with open(path + ".idx.json") as f:
+            self.index: Dict[str, int] = json.load(f)
+
+    @staticmethod
+    def key_for(rgb_path: str) -> str:
+        parts = rgb_path.replace("\\", "/").split("/")
+        return "/".join(parts[-2:])
+
+    def record_id(self, rgb_path: str):
+        return self.index.get(self.key_for(rgb_path))
+
+    def covers(self, rgb_paths) -> bool:
+        return all(self.record_id(p) is not None for p in rgb_paths)
+
+    def gather(self, record_ids):
+        """-> (rgb [n, H, W, 3] f32 in [-1,1], depth [n, H, W] f32)."""
+        idx = np.ascontiguousarray(record_ids, np.int64)
+        n = len(idx)
+        rgb = np.empty((n, self.height, self.width, 3), np.float32)
+        depth = np.empty((n, self.height, self.width), np.float32)
+        rc = self._lib.sgpk_gather(
+            self._h,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.threads,
+        )
+        if rc != 0:
+            raise IndexError(f"frame-store gather failed (rc={rc}): {record_ids}")
+        return rgb, depth
 
     def close(self) -> None:
         if self._h:

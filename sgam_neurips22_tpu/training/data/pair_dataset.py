@@ -118,11 +118,23 @@ class PairDatasetBase:
         n_src: int = 2,
         image_resolution=(256, 256),
         use_cache: bool = True,
+        frame_store=None,
     ):
         self.split = split
         self.dataset_dir = dataset_dir
         self.n_src = n_src
         self.image_resolution = tuple(image_resolution)
+        # optional packed frame store (training/data/packed.PackedFrameStore):
+        # RGB decode + resize + ray->z were done once at pack time; frames
+        # gather through C++ threads instead of per-file PIL decode
+        self.frame_store = None
+        if frame_store is not None:
+            if (frame_store.height, frame_store.width) != self.image_resolution:
+                raise ValueError(
+                    f"frame store is {frame_store.height}x{frame_store.width}, "
+                    f"dataset wants {self.image_resolution}"
+                )
+            self.frame_store = frame_store
         self.K = np.load(os.path.join(dataset_dir, "K.npy")).astype(np.float64)
         if self.dataset == "google_earth":
             # K stored at 512 (reference google_earth.py:50-51)
@@ -177,6 +189,29 @@ class PairDatasetBase:
         """Dataset-specific extra batch keys (reference google_earth.py:196-209)."""
         return {}
 
+    def _load_frames(self, tgt: dict, srcs: list):
+        """(dst rgb, dst depth, src rgbs, src depths) — via the packed frame
+        store when every frame is in it, else per-file decode."""
+        store = self.frame_store
+        if store is not None:
+            paths = [tgt["rgb_path"], *[s["rgb_path"] for s in srcs]]
+            ids = [store.record_id(p) for p in paths]
+            if all(i is not None for i in ids):
+                rgb, depth = store.gather(ids)
+                dm_srcs = []
+                for d in depth[1:]:
+                    if self.depth_sentinel is not None:
+                        # source depths get the sentinel replaced; the target
+                        # keeps it (reference google_earth.py:174-183)
+                        d[d == self.depth_sentinel] = -99999.0
+                    dm_srcs.append(d)
+                return rgb[0], depth[0], list(rgb[1:]), dm_srcs
+        img_dst = load_rgb(tgt["rgb_path"], self.image_resolution)
+        dm_dst = self._load_depth(tgt["depth_path"], is_dst=True)
+        img_srcs = [load_rgb(s["rgb_path"], self.image_resolution) for s in srcs]
+        dm_srcs = [self._load_depth(s["depth_path"]) for s in srcs]
+        return img_dst, dm_dst, img_srcs, dm_srcs
+
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None) -> dict:
         gi, key = self._locate(idx)
         g = self.graphs[gi]
@@ -194,10 +229,7 @@ class PairDatasetBase:
             src_keys = [int(k) for k in arr[: self.n_src]]
         srcs = [g.nodes[k] for k in src_keys]
 
-        img_dst = load_rgb(tgt["rgb_path"], self.image_resolution)
-        dm_dst = self._load_depth(tgt["depth_path"], is_dst=True)
-        img_srcs = [load_rgb(s["rgb_path"], self.image_resolution) for s in srcs]
-        dm_srcs = [self._load_depth(s["depth_path"]) for s in srcs]
+        img_dst, dm_dst, img_srcs, dm_srcs = self._load_frames(tgt, srcs)
 
         t_tgt = np.eye(4)
         t_tgt[:3, :3] = tgt["R"]

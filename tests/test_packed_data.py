@@ -127,3 +127,99 @@ def test_corrupt_shard_rejected(tmp_path):
     ds = PackedCodebookDataset(str(ok))
     assert len(ds) == 2
     ds.close()
+
+
+@pytest.fixture()
+def clevr_pair_dir(tmp_path):
+    """Tiny CLEVR-style pair dataset (transforms.json pose graph)."""
+    import json
+
+    rng = np.random.default_rng(3)
+    k = np.array([[20.0, 0, 15.5], [0, 20.0, 15.5], [0, 0, 1]])
+    np.save(tmp_path / "K.npy", k)
+    for split in ("train", "val"):
+        scene = tmp_path / split / "scene_0001"
+        os.makedirs(scene)
+        frames = []
+        for i in range(6):
+            c2w = np.eye(4)
+            c2w[:3, 3] = [i * 0.5, 0, 0]
+            frames.append(
+                {"transform_matrix": c2w.tolist(), "file_path": f"im_{i:05d}.png"}
+            )
+            img = rng.uniform(0, 255, (48, 48, 3)).astype(np.uint8)
+            Image.fromarray(img).save(scene / f"im_{i:05d}.png")
+            np.save(scene / f"dm_{i:05d}.npy", rng.uniform(8, 14, (48, 48)).astype(np.float32))
+        with open(scene / "transforms.json", "w") as f:
+            json.dump({"frames": frames}, f)
+    return str(tmp_path)
+
+
+def test_pair_frame_store_bit_identical(clevr_pair_dir):
+    """Pair examples built through the packed frame store must match the
+    per-PNG pipeline bit-for-bit (val split: deterministic source picks)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from pack_dataset import pack_pair_frames
+
+    from sgam_neurips22_tpu.training.data.packed import (
+        PackedFrameStore,
+        frame_store_path,
+    )
+    from sgam_neurips22_tpu.training.data.pair_dataset import ClevrInfinitePairs
+
+    png_ds = ClevrInfinitePairs("val", clevr_pair_dir, n_src=2, image_resolution=RES)
+    store_file = frame_store_path(clevr_pair_dir, "val", RES)
+    pack_pair_frames(png_ds, store_file)
+
+    store = PackedFrameStore(store_file)
+    packed_ds = ClevrInfinitePairs(
+        "val", clevr_pair_dir, n_src=2, image_resolution=RES, frame_store=store
+    )
+    assert len(png_ds) == len(packed_ds)
+    for i in range(len(png_ds)):
+        a, b = png_ds[i], packed_ds[i]
+        assert set(a) == set(b)
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    store.close()
+
+
+def test_frame_store_rejects_codebook_shard(packed_dataset_dir):
+    from sgam_neurips22_tpu.training.data.packed import (
+        PackedFrameStore,
+        shard_path,
+    )
+
+    with pytest.raises(OSError, match="frame store"):
+        PackedFrameStore(shard_path(packed_dataset_dir, "train", RES))
+
+
+def test_datamodule_pair_auto_pickup(clevr_pair_dir):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from pack_dataset import pack_pair_frames
+
+    from sgam_neurips22_tpu.training.data.packed import frame_store_path
+    from sgam_neurips22_tpu.training.data.pair_dataset import ClevrInfinitePairs
+
+    for split in ("train", "val"):
+        ds = ClevrInfinitePairs(split, clevr_pair_dir, image_resolution=RES)
+        pack_pair_frames(ds, frame_store_path(clevr_pair_dir, split, RES))
+
+    dm = DataModule(
+        batch_size=2, dataset="clevr-infinite", phase="conditional_generation",
+        dataset_dir=clevr_pair_dir, image_resolution=RES, n_src=2,
+    )
+    assert dm.train_ds.frame_store is not None
+    assert dm.val_ds.frame_store is not None
+    batch = next(iter(dm.train_loader()))
+    assert batch["src_imgs"].shape == (2, 2, *RES, 3)
+
+    dm_png = DataModule(
+        batch_size=2, dataset="clevr-infinite", phase="conditional_generation",
+        dataset_dir=clevr_pair_dir, image_resolution=RES, n_src=2, packed=False,
+    )
+    assert dm_png.train_ds.frame_store is None

@@ -58,33 +58,73 @@ def pack_split(ds, out_path: str, use_depth: bool) -> None:
     print(f"wrote {out_path}: {len(ds)} records, {mb:.1f} MB")
 
 
+def pack_pair_frames(ds, out_path: str) -> None:
+    """Pack every pose-graph frame of a pair dataset into a raw-depth frame
+    store + JSON index (keyed '<scene>/<im_XXXXX.png>'). RGB is stored
+    post-LANCZOS; depth goes through the dataset's own _load_depth pipeline
+    MINUS the source-only sentinel replacement (applied at gather time, so
+    target depths keep the sentinel exactly like the per-PNG path)."""
+    import json
+
+    from sgam_neurips22_tpu.training.data.packed import PackedFrameStore, write_shard
+
+    rgbs, depths, index = [], [], {}
+    nodes = [
+        g.nodes[k] for g in ds.graphs for k in sorted(g.nodes)
+    ]
+    for i, node in enumerate(nodes):
+        rgbs.append(load_rgb_u8(node["rgb_path"], ds.image_resolution))
+        depths.append(ds._load_depth(node["depth_path"], is_dst=True))
+        index[PackedFrameStore.key_for(node["rgb_path"])] = i
+        if (i + 1) % 500 == 0:
+            print(f"  {i + 1}/{len(nodes)}", flush=True)
+    write_shard(out_path, rgbs, depths, raw_depth=True)
+    with open(out_path + ".idx.json", "w") as f:
+        json.dump(index, f)
+    mb = os.path.getsize(out_path) / 1e6
+    print(f"wrote {out_path}: {len(nodes)} frames, {mb:.1f} MB")
+
+
 def main() -> None:
     from sgam_neurips22_tpu.training.data.codebook_dataset import CodebookDataset
-    from sgam_neurips22_tpu.training.data.packed import shard_path
+    from sgam_neurips22_tpu.training.data.datamodule import PAIR_DATASETS
+    from sgam_neurips22_tpu.training.data.packed import frame_store_path, shard_path
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset_dir", required=True)
     p.add_argument("--dataset", required=True,
                    choices=["clevr-infinite", "google_earth"])
+    p.add_argument("--phase", default="codebook", choices=["codebook", "pair"],
+                   help="codebook: final [-1,1]+disparity examples; "
+                        "pair: per-frame RGB + metric-depth store for the "
+                        "conditional-generation datasets")
     p.add_argument("--resolution", type=int, nargs=2, default=[256, 256])
     p.add_argument("--splits", nargs="*", default=["train", "val"])
     p.add_argument("--no_depth", action="store_true")
     p.add_argument("--no_convert_depth", action="store_true",
-                   help="skip the CLEVR ray->z conversion")
+                   help="codebook: skip the CLEVR ray->z conversion")
     args = p.parse_args()
 
     for split in args.splits:
-        ds = CodebookDataset(
-            split,
-            args.dataset_dir,
-            args.dataset,
-            image_resolution=tuple(args.resolution),
-            convert_depth=not args.no_convert_depth,
-            use_depth=not args.no_depth,
-        )
-        out = shard_path(args.dataset_dir, split, args.resolution)
-        print(f"packing {split}: {len(ds)} examples -> {out}")
-        pack_split(ds, out, use_depth=not args.no_depth)
+        if args.phase == "pair":
+            ds = PAIR_DATASETS[args.dataset](
+                split, args.dataset_dir, image_resolution=tuple(args.resolution)
+            )
+            out = frame_store_path(args.dataset_dir, split, args.resolution)
+            print(f"packing {split} frames: {len(ds)} -> {out}")
+            pack_pair_frames(ds, out)
+        else:
+            ds = CodebookDataset(
+                split,
+                args.dataset_dir,
+                args.dataset,
+                image_resolution=tuple(args.resolution),
+                convert_depth=not args.no_convert_depth,
+                use_depth=not args.no_depth,
+            )
+            out = shard_path(args.dataset_dir, split, args.resolution)
+            print(f"packing {split}: {len(ds)} examples -> {out}")
+            pack_split(ds, out, use_depth=not args.no_depth)
 
 
 if __name__ == "__main__":
