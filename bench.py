@@ -251,6 +251,9 @@ def main() -> None:
                         "float32 = checkpoint-parity mode.")
     p.add_argument("--tsdf_stride", type=int, default=1,
                    help="map-requery: fuse every s-th ray (1 = exact/reference)")
+    p.add_argument("--splat_stride", type=int, default=1,
+                   help="splat conditioning: splat every s-th source pixel "
+                        "with per-source phase offsets (1 = reference)")
     p.add_argument("--tsdf_band", type=int, default=0,
                    help="map-requery: fused band half-width in voxels "
                         "(0 = auto from sdf_trunc; the band scatter is the "
@@ -349,6 +352,7 @@ def main() -> None:
         use_rgbd_integration=args.rgbd_integration,
         tsdf_integrate_stride=args.tsdf_stride,
         tsdf_band_voxels=args.tsdf_band or None,
+        splat_stride=args.splat_stride,
     )
     # use the reference's real seed template when its checkout is present
     # (realistic depth statistics for the map/pool); random fallback
@@ -452,6 +456,8 @@ def main() -> None:
 
     fps = n_frames / dt
     mode = "map-requery" if args.rgbd_integration else "splat"
+    if not args.rgbd_integration and args.splat_stride != 1:
+        mode += f" stride {args.splat_stride}"
     if args.rgbd_integration and args.tsdf_stride != 1:
         mode += f", stride {args.tsdf_stride}"
     if args.model_dtype != "float32":

@@ -104,6 +104,15 @@ def main(argv=None) -> None:
                    help="float32/highest = bit-parity mode for "
                         "checkpoint-exact unrolls (measured: no speed "
                         "difference end-to-end on v5e)")
+    p.add_argument("--splat_stride", type=int, default=1,
+                   help="production fast mode: splat every s-th source pixel "
+                        "with per-source phase offsets (+9%% frames/sec at "
+                        "s=2 on v5e; median fill closes the 1-px holes, "
+                        "conditioning PSNR ~31 dB vs the full splat on "
+                        "worst-case aliasing — 1 = reference behavior)")
+    p.add_argument("--tsdf_integrate_stride", type=int, default=1,
+                   help="map-requery fast mode: fuse every s-th ray "
+                        "(near-lossless at s=2: voxel footprints span ~2 px)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="model activation dtype; bfloat16 = production fast "
@@ -180,6 +189,8 @@ def main(argv=None) -> None:
         trajectory_shape=opt.trajectory,
         pose_file=opt.pose_file,
         image_resolution=resolution,
+        splat_stride=opt.splat_stride,
+        tsdf_integrate_stride=opt.tsdf_integrate_stride,
     )
     template_dir = opt.template_dir or os.path.join("templates", opt.dataset)
     if opt.batch_seeds:

@@ -228,6 +228,7 @@ def render_projection_from_srcs(
     src_masks: jnp.ndarray | None = None,
     depth_range: tuple[float, float] | None = None,
     collision: str = "nearest",
+    splat_stride: int = 1,
 ) -> SplatResult:
     """Forward-splat N source RGB(-D) views into the target view.
 
@@ -245,6 +246,13 @@ def render_projection_from_srcs(
       depth_range: optional (lo, hi); outside -> extrapolation region and
         features zeroed for z >= hi (reference warp.py:280-284).
       collision: 'nearest' | 'last' (see module docstring).
+      splat_stride: opt-in production knob (s > 1 requires 'nearest' /
+        'nearest_exact'): splat every s-th source pixel, with each source
+        phase-shifted through the s x s offset cells — with >= s^2 sources
+        the union of subsampled grids covers every phase, and the 3x3
+        median pass fills residual holes. The z-buffer scatter is the
+        splat's serial-floor cost and scales 1/s^2. s=1 is the reference
+        behavior (every pixel, warp.py:218).
     """
     b, n, h, w, c = src_features.shape
     k_inv = inv3x3(src_intrinsics.reshape(b * n, 3, 3))
@@ -254,8 +262,29 @@ def render_projection_from_srcs(
         jnp.einsum("bij,bhwj->bhwi", t[:, :3, :3], pts)
         + t[:, None, None, :3, 3]
     )
-    pts = pts.reshape(b, n * h * w, 3)
-    feats = src_features.reshape(b, n * h * w, c)
+    s = int(splat_stride)
+    if s > 1:
+        if collision == "last":
+            raise ValueError("splat_stride > 1 requires collision='nearest'")
+        # per-source phase offsets over the s x s cell: source k samples
+        # pixels (oy + s*i, ox + s*j) with (oy, ox) cycling through the cell
+        pts = pts.reshape(b, n, h, w, 3)
+        fsub, psub = [], []
+        for k in range(n):
+            oy, ox = (k // s) % s, k % s
+            psub.append(pts[:, k, oy::s, ox::s, :][:, : h // s, : w // s])
+            fsub.append(
+                src_features[:, k, oy::s, ox::s, :][:, : h // s, : w // s]
+            )
+        pts = jnp.stack(psub, axis=1)  # [B, N, H//s, W//s, 3]
+        feats_src = jnp.stack(fsub, axis=1)
+        hw_pts = (h // s) * (w // s)
+        pts = pts.reshape(b, n * hw_pts, 3)
+        feats = feats_src.reshape(b, n * hw_pts, c)
+    else:
+        hw_pts = h * w
+        pts = pts.reshape(b, n * h * w, 3)
+        feats = src_features.reshape(b, n * h * w, c)
 
     # Project with target intrinsics; pixel index = trunc(u + 0.5)
     # (reference warp.py:222-225: `(pix2d + 0.5).long()`; trunc==floor for
@@ -272,7 +301,7 @@ def render_projection_from_srcs(
     )
     if src_masks is not None:
         per_point = jnp.repeat(
-            src_masks.astype(bool), h * w, axis=1, total_repeat_length=n * h * w
+            src_masks.astype(bool), hw_pts, axis=1, total_repeat_length=n * hw_pts
         )
         valid = valid & per_point
     if collision in ("nearest", "nearest_exact"):

@@ -33,6 +33,7 @@ def get_x(
     dataset: str,
     depth_range: Optional[tuple] = None,
     collision: str = "nearest",
+    splat_stride: int = 1,
 ) -> Conditioning:
     """Build (conditioning, target) pairs from an NHWC batch.
 
@@ -68,6 +69,7 @@ def get_x(
             src_masks=batch.get("src_masks"),
             depth_range=depth_range,
             collision=collision,
+            splat_stride=splat_stride,
         )
         feats = res.features
         warped_depth = res.depth

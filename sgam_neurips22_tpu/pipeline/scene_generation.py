@@ -87,6 +87,11 @@ class SceneGenConfig:
     order: str = "zigzag"
     image_resolution: Tuple[int, int] = (256, 256)
     collision: str = "nearest"
+    # opt-in production knob: splat every s-th source pixel with per-source
+    # phase offsets (see geometry/splat.render_projection_from_srcs); the
+    # splat scatter is the conditioning's serial-floor cost and scales 1/s^2.
+    # 1 = reference behavior.
+    splat_stride: int = 1
     # TSDF volume: None = auto-size/place from the trajectory ∪ frustum hull
     # (mapping.tsdf.auto_config); set both dims+origin for manual placement
     tsdf_dims: Optional[Tuple[int, int, int]] = None
@@ -246,7 +251,7 @@ class InfiniteSceneGeneration:
             "src_masks": src_mask[None],
         }
         # no_depth_range=True at inference (reference :872-875)
-        cond = get_x(batch, self.cfg.dataset, depth_range=None, collision=self.cfg.collision)
+        cond = get_x(batch, self.cfg.dataset, depth_range=None, collision=self.cfg.collision, splat_stride=self.cfg.splat_stride)
         return self._decode_frame(params, cond, rng)
 
     @partial(jax.jit, static_argnames=("self",))
@@ -330,7 +335,7 @@ class InfiniteSceneGeneration:
             "t_rels": jnp.broadcast_to(t_rels[None], (s, n, 3)),
             "src_masks": jnp.broadcast_to(src_mask[None], (s, n)),
         }
-        cond = get_x(batch, self.cfg.dataset, depth_range=None, collision=self.cfg.collision)
+        cond = get_x(batch, self.cfg.dataset, depth_range=None, collision=self.cfg.collision, splat_stride=self.cfg.splat_stride)
         return self._decode_batch(params, cond, rng)
 
     @partial(jax.jit, static_argnames=("self",))
