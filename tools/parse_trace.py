@@ -57,6 +57,7 @@ def main() -> None:
 
     total_by_name = collections.Counter()
     count_by_name = collections.Counter()
+    source_by_name = {}
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in keep_pids:
             continue
@@ -64,6 +65,11 @@ def main() -> None:
         name = e.get("name", "?")
         total_by_name[name] += dur
         count_by_name[name] += 1
+        # XLA attaches the originating python source line to device events
+        # (args.source) — the only practical way to attribute fusion.NNNN
+        src = e.get("args", {}).get("source")
+        if src and name not in source_by_name:
+            source_by_name[name] = src.replace("/root/repo/", "")
 
     grand = sum(total_by_name.values())
     print(f"# device total: {grand / 1e3:.2f} ms over {sum(count_by_name.values())} events")
@@ -78,7 +84,8 @@ def main() -> None:
         )
         if args.frames:
             row += f" {dur / 1e3 / args.frames:9.3f}"
-        print(row + f"  {name}")
+        src = source_by_name.get(name, "")
+        print(row + f"  {name}" + (f"  [{src}]" if src else ""))
 
 
 if __name__ == "__main__":
