@@ -519,7 +519,11 @@ def _render_depth_splat(
     if refine:
         # sub-voxel zero-crossing around the splatted depth: the pool voxel
         # sits ~0.5 voxel in FRONT of the surface, so 3 samples at
-        # {0, +0.5, +1} voxels bracket the crossing (2 candidate intervals)
+        # {0, +0.5, +1} voxels bracket the crossing (2 candidate intervals).
+        # (A 2-sample {0, 1} variant was measured ~1.1 ms/frame cheaper but
+        # degraded flat-wall depth beyond the 0.05 test tolerance — the
+        # nearest-voxel grid read is piecewise constant, so the middle
+        # sample genuinely halves the crossing quantization.)
         cam_center, dirs_world = _camera_rays(intrinsics, extrinsic, h, w)
         dt = 0.5 * cfg.voxel_size
         offs = jnp.arange(3, dtype=jnp.float32) * dt
