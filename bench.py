@@ -213,8 +213,10 @@ def bench_data_loader(n_images: int = 512, bs: int = 16) -> dict:
                 n += len(batch["image"])
             return n / (time.perf_counter() - t0)
 
-        png_rate = min(epoch_rate(png_ds), epoch_rate(png_ds))
-        packed_rate = min(epoch_rate(packed_ds), epoch_rate(packed_ds))
+        # best-of-2: a transient stall (cold page cache, CPU contention) in
+        # either pipeline must not bias the ratio
+        png_rate = max(epoch_rate(png_ds), epoch_rate(png_ds))
+        packed_rate = max(epoch_rate(packed_ds), epoch_rate(packed_ds))
         packed_ds.close()
         return {
             "metric": "packed-shard loader images/sec (native C++ assembly, "

@@ -116,10 +116,14 @@ void* sgpk_open(const char* path) {
   s->rgb_bytes = static_cast<size_t>(s->h) * s->w * 3;
   s->depth_bytes = s->has_depth ? static_cast<size_t>(s->h) * s->w * 4 : 0;
   s->rec_bytes = s->rgb_bytes + s->depth_bytes;
-  if (memcmp(hd->magic, kMagic, 8) != 0 || s->n == 0 || s->h == 0 ||
-      s->w == 0 ||
-      sizeof(Header) + static_cast<size_t>(s->n) * s->rec_bytes >
-          s->map_bytes) {
+  // overflow-safe validation: bound h/w first (so rec_bytes cannot wrap),
+  // then compare n against the record capacity by division (no n*rec mul)
+  const bool dims_ok =
+      s->h > 0 && s->w > 0 && s->h <= (1u << 16) && s->w <= (1u << 16);
+  const size_t payload = s->map_bytes - sizeof(Header);
+  if (memcmp(hd->magic, kMagic, 8) != 0 || s->n == 0 || !dims_ok ||
+      s->rec_bytes == 0 ||
+      static_cast<size_t>(s->n) > payload / s->rec_bytes) {
     munmap(m, s->map_bytes);
     ::close(fd);
     delete s;
@@ -149,7 +153,7 @@ int32_t sgpk_assemble(void* h, const int64_t* idx, int64_t n, float* out,
                       int32_t threads) {
   const Shard* s = static_cast<const Shard*>(h);
   for (int64_t i = 0; i < n; ++i)
-    if (idx[i] < 0 || static_cast<uint32_t>(idx[i]) >= s->n) return -1;
+    if (idx[i] < 0 || idx[i] >= static_cast<int64_t>(s->n)) return -1;
   const int channels = s->has_depth ? 4 : 3;
   if (threads <= 0) {
     unsigned hw = std::thread::hardware_concurrency();
@@ -181,7 +185,7 @@ int32_t sgpk_gather(void* h, const int64_t* idx, int64_t n, float* rgb_out,
                     float* depth_out, int32_t threads) {
   const Shard* s = static_cast<const Shard*>(h);
   for (int64_t i = 0; i < n; ++i)
-    if (idx[i] < 0 || static_cast<uint32_t>(idx[i]) >= s->n) return -1;
+    if (idx[i] < 0 || idx[i] >= static_cast<int64_t>(s->n)) return -1;
   if (depth_out && !s->has_depth) return -2;
   if (threads <= 0) {
     unsigned hw = std::thread::hardware_concurrency();

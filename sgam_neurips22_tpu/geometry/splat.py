@@ -73,6 +73,40 @@ def median_blur_3x3(x: jnp.ndarray) -> jnp.ndarray:
     return p[4]
 
 
+def _fill_from_nearest_neighbor(depth: jnp.ndarray, feats: jnp.ndarray):
+    """One-pass hole fill for the strided splat: each empty pixel takes its
+    3x3 neighbor with the SMALLEST nonzero depth (z-buffer-consistent
+    dilation — the nearest surface wins, like the scatter itself).
+
+    The median merge alone cannot close the strided splat's holes when few
+    sources are valid (e.g. the first frames of an unroll): a regular
+    1/s^2-density grid leaves >= 5 zeros in every 3x3 window, so the lower
+    median is 0. One dilation pass fills any hole with >= 1 covered
+    neighbor, which a phase-offset grid always has for s = 2."""
+    b, h, w, _ = depth.shape
+    big = jnp.float32(3.4e38)
+    d = jnp.where(depth <= 0.0, big, depth)
+    pad_d = jnp.pad(d, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=big)
+    pad_f = jnp.pad(feats, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    stack_d = jnp.stack(
+        [pad_d[:, dy : dy + h, dx : dx + w, 0] for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )  # [B, H, W, 9]
+    k = jnp.argmin(stack_d, axis=-1)
+    best_d = jnp.take_along_axis(stack_d, k[..., None], axis=-1)
+    stack_f = jnp.stack(
+        [pad_f[:, dy : dy + h, dx : dx + w, :] for dy in range(3) for dx in range(3)],
+        axis=-2,
+    )  # [B, H, W, 9, C]
+    best_f = jnp.take_along_axis(stack_f, k[..., None, None], axis=-2)[..., 0, :]
+    hole = depth <= 0.0
+    ok = best_d < big
+    return (
+        jnp.where(hole & ok, best_d, depth),
+        jnp.where(hole & ok, best_f, feats),
+    )
+
+
 def _zbuffer_scatter_batched_nearest(
     pix: jnp.ndarray,
     z: jnp.ndarray,
@@ -331,13 +365,22 @@ def render_projection_from_srcs(
 
         raw_depth, raw_feats = jax.vmap(splat_one)(pix, zs, feats, valid)
 
+    fill_depth, fill_feats = raw_depth, raw_feats
+    if s > 1:
+        # strided mode: close the subsampling holes with a z-buffer-
+        # consistent dilation BEFORE the median merge (see
+        # _fill_from_nearest_neighbor — the median alone cannot close the
+        # regular grid left by a single valid source). SplatResult.raw_*
+        # stay truly raw (pre-fill), as in the s=1 path.
+        fill_depth, fill_feats = _fill_from_nearest_neighbor(raw_depth, raw_feats)
+
     # Median hole filling: only zero pixels take the median value
     # (reference warp.py:271-279; note the reference masks features
     # per-channel with (feats == 0), replicated here).
-    median_feats = median_blur_3x3(raw_feats)
-    median_depth = median_blur_3x3(raw_depth)
-    merge_feats = jnp.where(raw_feats == 0.0, median_feats, raw_feats)
-    merge_depth = jnp.where(raw_depth == 0.0, median_depth, raw_depth)
+    median_feats = median_blur_3x3(fill_feats)
+    median_depth = median_blur_3x3(fill_depth)
+    merge_feats = jnp.where(fill_feats == 0.0, median_feats, fill_feats)
+    merge_depth = jnp.where(fill_depth == 0.0, median_depth, fill_depth)
 
     if depth_range is not None:
         lo, hi = depth_range

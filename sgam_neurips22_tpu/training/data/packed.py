@@ -35,40 +35,78 @@ def shard_path(dataset_dir: str, split: str, resolution) -> str:
     return os.path.join(dataset_dir, f"{split}_{h}x{w}.sgpk")
 
 
+class ShardWriter:
+    """Streaming shard writer: O(1) host memory, any dataset size.
+
+    Records append one at a time; `close()` back-patches the record count
+    into the header and atomically renames the temp file into place (a
+    crashed pack never leaves a readable half-shard: the temp header holds
+    n=0 until close, and sgpk_open rejects n == 0)."""
+
+    def __init__(self, path: str, has_depth: bool, raw_depth: bool = False):
+        self.path = path
+        self.has_depth = has_depth
+        self.raw_depth = raw_depth
+        self.hw = None
+        self.n = 0
+        self._tmp = path + ".tmp"
+        self._f = open(self._tmp, "wb")
+        self._f.write(b"\x00" * HEADER.itemsize)  # placeholder header
+
+    def add(self, rgb_u8: np.ndarray, channel: np.ndarray | None = None) -> None:
+        rgb = np.ascontiguousarray(rgb_u8, np.uint8)
+        if rgb.ndim != 3 or rgb.shape[2] != 3:
+            raise ValueError(f"record {self.n} rgb shape {rgb.shape} != (H, W, 3)")
+        if self.hw is None:
+            self.hw = rgb.shape[:2]
+        if rgb.shape[:2] != self.hw:
+            raise ValueError(f"record {self.n} rgb shape {rgb.shape} != {self.hw}")
+        self._f.write(rgb.tobytes())
+        if self.has_depth:
+            if channel is None:
+                raise ValueError("has_depth shard needs a float channel per record")
+            d = np.ascontiguousarray(channel, "<f4")
+            if d.shape != self.hw:
+                raise ValueError(f"record {self.n} channel shape {d.shape} != {self.hw}")
+            self._f.write(d.tobytes())
+        self.n += 1
+
+    def close(self) -> None:
+        if self._f is None:
+            return
+        if self.n == 0 or self.hw is None:
+            self._f.close()
+            os.remove(self._tmp)
+            self._f = None
+            raise ValueError("empty shard")
+        hdr = np.zeros((), HEADER)
+        hdr["magic"] = MAGIC
+        hdr["n"], (hdr["h"], hdr["w"]) = self.n, self.hw
+        hdr["flags"] = (1 if self.has_depth else 0) | (2 if self.raw_depth else 0)
+        self._f.seek(0)
+        self._f.write(hdr.tobytes())
+        self._f.close()
+        self._f = None
+        os.replace(self._tmp, self.path)  # atomic
+
+
 def write_shard(
     path: str,
     rgb_u8: Sequence[np.ndarray],
     disparity: Sequence[np.ndarray] | None,
     raw_depth: bool = False,
 ) -> None:
-    """Write a shard from per-record arrays (rgb [H,W,3] u8; disparity
-    [H,W] f32 or None for RGB-only). raw_depth marks the float channel as
-    metric depth (pair-dataset frame stores) rather than encoded disparity
-    (codebook shards) — readers check the flag so the two cannot be
-    confused."""
-    n = len(rgb_u8)
-    if n == 0:
-        raise ValueError("empty shard")
-    h, w = rgb_u8[0].shape[:2]
+    """Write a shard from in-memory per-record arrays (rgb [H,W,3] u8;
+    disparity [H,W] f32 or None for RGB-only) — convenience wrapper over
+    ShardWriter for small shards/tests. raw_depth marks the float channel
+    as metric depth (pair-dataset frame stores) rather than encoded
+    disparity (codebook shards) — readers check the flag so the two cannot
+    be confused."""
     has_depth = disparity is not None
-    hdr = np.zeros((), HEADER)
-    hdr["magic"] = MAGIC
-    hdr["n"], hdr["h"], hdr["w"] = n, h, w
-    hdr["flags"] = (1 if has_depth else 0) | (2 if raw_depth else 0)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(hdr.tobytes())
-        for i in range(n):
-            rgb = np.ascontiguousarray(rgb_u8[i], np.uint8)
-            if rgb.shape != (h, w, 3):
-                raise ValueError(f"record {i} rgb shape {rgb.shape} != {(h, w, 3)}")
-            f.write(rgb.tobytes())
-            if has_depth:
-                d = np.ascontiguousarray(disparity[i], "<f4")
-                if d.shape != (h, w):
-                    raise ValueError(f"record {i} disparity shape {d.shape} != {(h, w)}")
-                f.write(d.tobytes())
-    os.replace(tmp, path)  # atomic: never leave a half-written shard
+    wr = ShardWriter(path, has_depth=has_depth, raw_depth=raw_depth)
+    for i in range(len(rgb_u8)):
+        wr.add(rgb_u8[i], disparity[i] if has_depth else None)
+    wr.close()
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:

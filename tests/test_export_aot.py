@@ -8,9 +8,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-from export_aot import build_step, export_step  # noqa: E402
+from export_aot import export_step  # noqa: E402
 
 from sgam_neurips22_tpu.models import DDConfig, VQModelConfig  # noqa: E402
+from sgam_neurips22_tpu.serving import build_inference_step  # noqa: E402
 
 TINY = VQModelConfig(
     ddconfig=DDConfig(
@@ -30,7 +31,7 @@ def test_export_roundtrip_matches_live_call(tmp_path):
     assert os.path.getsize(out) > 0
 
     exported = jexport.deserialize(open(out, "rb").read())
-    fn, args = build_step(TINY)
+    fn, args = build_inference_step(TINY, image_size=TINY.ddconfig.resolution * 4)
     live_rgb, live_depth = jax.jit(fn)(*args)
     aot_rgb, aot_depth = exported.call(*args)
     np.testing.assert_array_equal(np.asarray(live_rgb), np.asarray(aot_rgb))

@@ -332,3 +332,36 @@ def test_splat_stride_translated_sources_quality():
     mse = float(np.mean((a - b) ** 2))
     psnr = 10 * np.log10(4.0 / mse)  # range [-1, 1] -> peak-to-peak 2
     assert psnr > 28.0, psnr
+
+
+def test_splat_stride_single_valid_source_fills():
+    """The first frames of an unroll have ONE valid source: its 1/4-density
+    phase grid must still produce a fully-covered conditioning (z-buffer-
+    consistent dilation closes the holes the median cannot)."""
+    rng = np.random.default_rng(5)
+    h = w = 32
+    n = 5
+    k = make_intrinsics(20.0, 20.0, (w - 1) / 2, (h - 1) / 2)
+    depth = np.broadcast_to(
+        rng.uniform(8.0, 12.0, size=(1, 1, h, w)).astype(np.float32), (1, n, h, w)
+    )
+    feats = np.broadcast_to(
+        rng.uniform(-1, 1, size=(1, 1, h, w, 3)).astype(np.float32), (1, n, h, w, 3)
+    )
+    masks = np.zeros((1, n), np.float32)
+    masks[0, 0] = 1.0  # only the seed frame is real
+    res = render_projection_from_srcs(
+        jnp.asarray(feats), jnp.asarray(depth), k[None],
+        jnp.broadcast_to(k, (1, n, 3, 3)),
+        jnp.broadcast_to(jnp.eye(4), (1, n, 4, 4)),
+        src_masks=jnp.asarray(masks),
+        splat_stride=2,
+    )
+    raw_cov = float((np.asarray(res.raw_depth) > 0).mean())
+    assert raw_cov == pytest.approx(0.25, abs=0.02), raw_cov
+    # merged output: every pixel covered, none marked extrapolation
+    assert float((np.asarray(res.depth) > 0).mean()) == 1.0
+    assert not bool(res.extrapolation_mask.any())
+    # depths stay on the surface (dilation copies real neighbor depths)
+    d = np.asarray(res.depth)
+    assert d.min() >= 7.9 and d.max() <= 12.1

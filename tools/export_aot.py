@@ -31,56 +31,17 @@ apply_platform_env()  # honor JAX_PLATFORMS even with eager PJRT plugins
 import argparse
 
 
-def build_step(model_cfg, topk: int = 1):
-    """(fn, example_args) for the per-frame conditional inference step."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from sgam_neurips22_tpu.geometry.codec import get_codec
-    from sgam_neurips22_tpu.models import forward, get_x, init_vqmodel
-
-    codec = get_codec(model_cfg.dataset)
-    params = init_vqmodel(jax.random.PRNGKey(0), model_cfg)
-    b, n = 1, 5
-    h = w = model_cfg.ddconfig.resolution * 4  # 64 -> 256 (flagship)
-    rng = np.random.default_rng(0)
-    k = np.array(
-        [[355.5555, 0, w / 2], [0, 355.5555, h / 2], [0, 0, 1.0]], np.float32
-    )
-    batch = {
-        "dst_img": jnp.zeros((b, h, w, 3), jnp.float32),
-        "dst_depth": jnp.full((b, h, w), 10.0, jnp.float32),
-        "src_imgs": jnp.asarray(rng.uniform(-1, 1, (b, n, h, w, 3)).astype(np.float32)),
-        "src_depths": jnp.asarray(rng.uniform(8, 14, (b, n, h, w)).astype(np.float32)),
-        "Ks": jnp.broadcast_to(jnp.asarray(k), (b, n, 3, 3)),
-        "R_rels": jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, n, 3, 3)),
-        "t_rels": jnp.zeros((b, n, 3), jnp.float32),
-        "src_masks": jnp.ones((b, n), jnp.float32),
-    }
-    sample_rng = jax.random.PRNGKey(3)
-
-    def fn(params, batch, sample_rng):
-        cond = get_x(batch, model_cfg.dataset, depth_range=None)
-        res = forward(
-            params, model_cfg, cond.x,
-            extrapolation_mask=cond.extrapolation_mask,
-            topk=topk, rng=sample_rng, sample_number=1,
-        )
-        xrec = res.xrec[:, 0]
-        rgb = jnp.clip(xrec[..., :3], -1.0, 1.0)
-        depth = codec.decode(xrec[..., 3])
-        return rgb, depth
-
-    return fn, (params, batch, sample_rng)
-
-
 def export_step(model_cfg, out_path: str, platforms, topk: int = 1,
                 params=None) -> None:
     import jax
     from jax import export
 
-    fn, (init_params, batch, rng) = build_step(model_cfg, topk=topk)
+    from sgam_neurips22_tpu.serving import build_inference_step
+
+    fn, (init_params, batch, rng) = build_inference_step(
+        model_cfg, topk=topk,
+        image_size=model_cfg.ddconfig.resolution * 4,  # 64 -> 256 (flagship)
+    )
     if params is not None:
         init_params = params
     exported = export.export(jax.jit(fn), platforms=tuple(platforms))(
@@ -96,8 +57,6 @@ def export_step(model_cfg, out_path: str, platforms, topk: int = 1,
 
 
 def main() -> None:
-    from dataclasses import replace
-
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default="flagship_step.jaxexport")
     p.add_argument("--dataset", default="clevr-infinite",
@@ -114,18 +73,9 @@ def main() -> None:
                    choices=["float32", "bfloat16"])
     args = p.parse_args()
 
-    from __graft_entry__ import _flagship_configs
+    from sgam_neurips22_tpu.serving import flagship_config
 
-    cfg = _flagship_configs()
-    if args.dataset == "google_earth":
-        cfg = replace(
-            cfg, n_embed=4096, dataset="google_earth",
-            depth_range=(0.099975586, 4.765625),
-        )
-    if args.compute_dtype != "float32":
-        cfg = replace(
-            cfg, ddconfig=replace(cfg.ddconfig, compute_dtype=args.compute_dtype)
-        )
+    cfg = flagship_config(args.dataset, compute_dtype=args.compute_dtype)
     params = None
     if args.ckpt:
         import jax

@@ -35,25 +35,28 @@ def load_rgb_u8(path: str, resolution) -> np.ndarray:
 
 
 def pack_split(ds, out_path: str, use_depth: bool) -> None:
+    """Streams records through ShardWriter: O(1) host memory regardless of
+    dataset size (a 100k-image 256^2 RGB-D split is ~45 GB decoded)."""
     from sgam_neurips22_tpu.training.data.io import (
         encode_disparity_np,
         load_depth,
         ray_to_z_np,
     )
-    from sgam_neurips22_tpu.training.data.packed import write_shard
+    from sgam_neurips22_tpu.training.data.packed import ShardWriter
 
-    rgbs, disps = [], [] if use_depth else None
+    wr = ShardWriter(out_path, has_depth=use_depth)
     for i in range(len(ds)):
         rgb_path = ds.paths[i]
-        rgbs.append(load_rgb_u8(rgb_path, ds.image_resolution))
+        disp = None
         if use_depth:
             depth = load_depth(ds._depth_path(rgb_path), ds.image_resolution)
             if ds.convert_depth and ds.K is not None:
                 depth = ray_to_z_np(depth, ds.K)
-            disps.append(encode_disparity_np(depth, ds.dataset))
+            disp = encode_disparity_np(depth, ds.dataset)
+        wr.add(load_rgb_u8(rgb_path, ds.image_resolution), disp)
         if (i + 1) % 500 == 0:
             print(f"  {i + 1}/{len(ds)}", flush=True)
-    write_shard(out_path, rgbs, disps)
+    wr.close()
     mb = os.path.getsize(out_path) / 1e6
     print(f"wrote {out_path}: {len(ds)} records, {mb:.1f} MB")
 
@@ -66,19 +69,22 @@ def pack_pair_frames(ds, out_path: str) -> None:
     target depths keep the sentinel exactly like the per-PNG path)."""
     import json
 
-    from sgam_neurips22_tpu.training.data.packed import PackedFrameStore, write_shard
+    from sgam_neurips22_tpu.training.data.packed import PackedFrameStore, ShardWriter
 
-    rgbs, depths, index = [], [], {}
+    index = {}
     nodes = [
         g.nodes[k] for g in ds.graphs for k in sorted(g.nodes)
     ]
+    wr = ShardWriter(out_path, has_depth=True, raw_depth=True)
     for i, node in enumerate(nodes):
-        rgbs.append(load_rgb_u8(node["rgb_path"], ds.image_resolution))
-        depths.append(ds._load_depth(node["depth_path"], is_dst=True))
+        wr.add(
+            load_rgb_u8(node["rgb_path"], ds.image_resolution),
+            ds._load_depth(node["depth_path"], is_dst=True),
+        )
         index[PackedFrameStore.key_for(node["rgb_path"])] = i
         if (i + 1) % 500 == 0:
             print(f"  {i + 1}/{len(nodes)}", flush=True)
-    write_shard(out_path, rgbs, depths, raw_depth=True)
+    wr.close()
     with open(out_path + ".idx.json", "w") as f:
         json.dump(index, f)
     mb = os.path.getsize(out_path) / 1e6
