@@ -30,43 +30,12 @@ def _enable_compilation_cache():
         pass
 
 
-import numpy as np
-
-
 def load_seed_frames(template_dir: str, dataset: str, seed_index: int, resolution):
-    """Read the reference's template layout:
-    - clevr-infinite: im_XXXXX_<i>_<j>.png + dm npy with RAY depth that must
-      be converted to z-depth (reference inference_pipeline.py:71-79)
-    - google_earth: templates/google_earth/seed<k>/im_*.png + dm_*.npy
-      placed at grid (0, 0) (reference :46-54)."""
-    from sgam_neurips22_tpu.pipeline.trajectory import default_intrinsics
-    from sgam_neurips22_tpu.training.data.io import (
-        load_depth,
-        load_rgb,
-        ray_to_z_np,
-    )
+    """Reference template layout reader (pipeline/templates.py; re-exported
+    here for script users)."""
+    from sgam_neurips22_tpu.pipeline.templates import load_seed_frames as _load
 
-    seeds = []
-    k = default_intrinsics(dataset, resolution)
-    if dataset == "clevr-infinite":
-        for dm_path in sorted(glob.glob(os.path.join(template_dir, "dm_*.npy"))):
-            name = os.path.basename(dm_path)[3:-4]
-            parts = name.split("_")
-            i, j = (int(parts[1]), int(parts[2])) if len(parts) >= 3 else (0, 0)
-            depth = ray_to_z_np(load_depth(dm_path, resolution), k)
-            rgb = load_rgb(dm_path.replace("dm", "im").replace(".npy", ".png"), resolution)
-            seeds.append(((i, j), rgb, depth.astype(np.float32)))
-    elif dataset == "google_earth":
-        seed_dir = os.path.join(template_dir, f"seed{seed_index}")
-        img_fn = sorted(glob.glob(os.path.join(seed_dir, "im*")))[0]
-        rgb = load_rgb(img_fn, resolution)
-        depth = load_depth(img_fn.replace("im", "dm").replace(".png", ".npy"), resolution)
-        seeds.append(((0, 0), rgb, depth.astype(np.float32)))
-    else:
-        raise NotImplementedError(dataset)
-    if not seeds:
-        raise FileNotFoundError(f"no seed frames under {template_dir}")
-    return seeds
+    return _load(template_dir, dataset, seed_index, resolution)
 
 
 def main(argv=None) -> None:
@@ -143,16 +112,9 @@ def main(argv=None) -> None:
             yaml_cfg.model.params, yaml_cfg.model.params.get("data_config") or yaml_cfg.get("data", {}).get("params", {})
         )
     else:
-        from __graft_entry__ import _flagship_configs
+        from sgam_neurips22_tpu.serving import flagship_config
 
-        model_cfg = _flagship_configs()
-        if opt.dataset == "google_earth":
-            from dataclasses import replace
-
-            model_cfg = replace(
-                model_cfg, n_embed=4096, dataset="google_earth",
-                depth_range=(0.099975586, 4.765625),
-            )
+        model_cfg = flagship_config(opt.dataset)
 
     if opt.compute_dtype != "float32":
         from dataclasses import replace

@@ -1,0 +1,117 @@
+"""Serving daemon: resident model + compiled unroll behind a JSON HTTP API.
+
+The reference has no serving stack (its inference is a one-shot CLI that
+re-loads the model per run); production deployment wants a process that
+loads weights once, compiles the whole-scene unroll once, and then serves
+generation requests at steady-state throughput. Endpoints (see
+sgam_neurips22_tpu/serving.run_http_server): GET /healthz, GET /metrics,
+POST /warmup, POST /generate.
+
+  python serve.py --dataset clevr-infinite --ckpt trained_models/clevr-infinite/last.ckpt \
+      --template_dir templates/clevr-infinite --rows 5 --cols 5 \
+      --compute_dtype bfloat16 --port 8000
+
+  curl -s localhost:8000/healthz
+  curl -s -X POST localhost:8000/generate -d '{"seed_index": 0, "rng_seed": 7}'
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def _enable_compilation_cache():
+    try:
+        from sgam_neurips22_tpu.core.platform import apply_platform_env
+
+        apply_platform_env()
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+def build_server(opt):
+    import jax
+
+    from sgam_neurips22_tpu.core.torch_convert import (
+        convert_checkpoint,
+        init_from_ckpt,
+    )
+    from sgam_neurips22_tpu.models.vqgan.model import init_vqmodel
+    from sgam_neurips22_tpu.pipeline.scene_generation import SceneGenConfig
+    from sgam_neurips22_tpu.serving import SceneServer, flagship_config
+
+    model_cfg = flagship_config(opt.dataset, compute_dtype=opt.compute_dtype)
+    params = init_vqmodel(jax.random.PRNGKey(0), model_cfg)
+    if opt.ckpt and os.path.exists(opt.ckpt):
+        if opt.ckpt.endswith(".pkl"):
+            import pickle
+
+            with open(opt.ckpt, "rb") as f:
+                params = pickle.load(f)
+        else:
+            model_np, _, _ = convert_checkpoint(opt.ckpt)
+            params = init_from_ckpt(params, model_np)
+        print(f"[serve] loaded weights from {opt.ckpt}")
+    else:
+        print("[serve] WARNING: randomly initialized weights")
+
+    rows = opt.rows or (20 if opt.dataset == "clevr-infinite" else 100)
+    cols = opt.cols or (20 if opt.dataset == "clevr-infinite" else 1)
+    cfg = SceneGenConfig(
+        dataset=opt.dataset,
+        output_dim=(rows, cols),
+        topk=opt.topk,
+        use_rgbd_integration=opt.use_rgbd_integration,
+        image_resolution=(opt.resolution, opt.resolution),
+        splat_stride=opt.splat_stride,
+        tsdf_integrate_stride=opt.tsdf_integrate_stride,
+    )
+    template_dir = opt.template_dir or os.path.join("templates", opt.dataset)
+    return SceneServer(
+        params, model_cfg, cfg, template_dir, output_root=opt.output_root
+    )
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="clevr-infinite",
+                   choices=["clevr-infinite", "google_earth"])
+    p.add_argument("--ckpt", default=None, help="torch .ckpt or params pickle")
+    p.add_argument("--template_dir", default=None)
+    p.add_argument("--output_root", default="serve_out")
+    p.add_argument("--rows", type=int, default=None)
+    p.add_argument("--cols", type=int, default=None)
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--topk", type=int, default=1)
+    p.add_argument("--use_rgbd_integration", action="store_true")
+    p.add_argument("--splat_stride", type=int, default=1)
+    p.add_argument("--tsdf_integrate_stride", type=int, default=1)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 = production serving default (+19%% "
+                        "frames/sec on v5e; f32 = bit-parity mode)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--no_warmup", action="store_true")
+    opt = p.parse_args(argv)
+
+    _enable_compilation_cache()
+    from sgam_neurips22_tpu.serving import run_http_server
+
+    server = build_server(opt)
+    httpd = run_http_server(
+        server, host=opt.host, port=opt.port, warmup=not opt.no_warmup
+    )
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        print("[serve] shutting down")
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

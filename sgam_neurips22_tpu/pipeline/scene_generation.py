@@ -212,8 +212,14 @@ class InfiniteSceneGeneration:
         self._seeds = seeds
         self.reset()
 
-    def reset(self) -> None:
-        """(Re)initialize buffers + visited state from the seed frames."""
+    def reset(self, seeds: Optional[list] = None) -> None:
+        """(Re)initialize buffers + visited state from the seed frames.
+
+        Passing `seeds` swaps in a new seed set WITHOUT invalidating any
+        compiled unroll (the jit cache is keyed on this instance): a serving
+        process resets between requests and pays compilation once."""
+        if seeds is not None:
+            self._seeds = seeds
         h, w = self.cfg.image_resolution
         g = self.grid.size
         self.rgb_buf = jnp.zeros((g, h, w, 3), jnp.float32)
