@@ -54,7 +54,14 @@ class Loader:
         prefetch: int = 2,
         workers: int = 8,
         device_put: Optional[Callable[[Dict[str, np.ndarray]], Any]] = None,
+        process_count: int = 1,
+        process_index: int = 0,
     ):
+        """batch_size is the GLOBAL batch. With process_count > 1 (multi-host
+        mesh, parallel/distributed.py) every process walks the same
+        epoch-seeded index order but decodes only its process_index-th slice
+        of each batch — the DistributedSampler discipline — and device_put
+        (shard_local_batch) assembles the global device array."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -62,6 +69,12 @@ class Loader:
         self.prefetch = prefetch
         self.workers = max(1, workers)
         self.device_put = device_put
+        if batch_size % process_count:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by {process_count} processes"
+            )
+        self.process_count = process_count
+        self.process_index = process_index
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -73,12 +86,23 @@ class Loader:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
         return idx
 
+    def _local(self, idxs):
+        """This process's rows of one global batch (identity single-host)."""
+        if self.process_count <= 1:
+            return slice(None)
+        local_bs = len(idxs) // self.process_count
+        return slice(self.process_index * local_bs, (self.process_index + 1) * local_bs)
+
     def _assemble(self, idxs, rng, pool) -> Dict[str, np.ndarray]:
+        sl = self._local(idxs)
         if hasattr(self.dataset, "assemble_batch"):
             # packed-shard fast path: one native call builds the whole batch
             # in C++ threads (no per-example Python, no thread pool)
-            return self.dataset.assemble_batch(idxs)
-        rngs = rng.spawn(len(idxs))
+            return self.dataset.assemble_batch(idxs[sl])
+        # spawn per-GLOBAL-position RNGs before slicing so a multi-host run
+        # decodes example i with the same stream as a single-host run
+        rngs = rng.spawn(len(idxs))[sl]
+        idxs = idxs[sl]
 
         def get_one(i, r):
             try:
@@ -195,11 +219,15 @@ class DataModule:
         seed: int = 0,
         device_put=None,
         packed: str | bool = "auto",
+        process_count: int = 1,
+        process_index: int = 0,
         **_: Any,
     ):
         self.batch_size = batch_size
         self.seed = seed
         self.device_put = device_put
+        self.process_count = process_count
+        self.process_index = process_index
         if phase == "conditional_generation":
             cls = PAIR_DATASETS[dataset]
             self.train_ds = cls(
@@ -286,14 +314,21 @@ class DataModule:
             split, dataset_dir, dataset, image_resolution, use_depth=use_depth
         )
 
-    def train_loader(self) -> Loader:
+    def _loader(self, ds, shuffle: bool = False) -> Loader:
+        # val/test keep the default seed (their order is sequential; the
+        # epoch rng only drives train-side stochastic source sampling)
         return Loader(
-            self.train_ds, self.batch_size, shuffle=True, seed=self.seed,
+            ds, self.batch_size, shuffle=shuffle,
+            seed=self.seed if shuffle else 0,
             device_put=self.device_put,
+            process_count=self.process_count, process_index=self.process_index,
         )
 
+    def train_loader(self) -> Loader:
+        return self._loader(self.train_ds, shuffle=True)
+
     def val_loader(self) -> Loader:
-        return Loader(self.val_ds, self.batch_size, device_put=self.device_put)
+        return self._loader(self.val_ds)
 
     def test_loader(self) -> Loader:
-        return Loader(self.test_ds, self.batch_size, device_put=self.device_put)
+        return self._loader(self.test_ds)

@@ -24,7 +24,12 @@ from sgam_neurips22_tpu.core.checkpoint import (
 from sgam_neurips22_tpu.core.config import ConfigDict, save_yaml
 from sgam_neurips22_tpu.core.torch_convert import convert_checkpoint, init_from_ckpt
 from sgam_neurips22_tpu.models.vqgan.model import VQModelConfig
-from sgam_neurips22_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from sgam_neurips22_tpu.parallel.distributed import (
+    is_primary,
+    replicate_global,
+    shard_local_batch,
+)
+from sgam_neurips22_tpu.parallel.mesh import make_mesh
 from sgam_neurips22_tpu.training.data.datamodule import DataModule
 from sgam_neurips22_tpu.training.kmeans import refresh_codebook, should_refresh
 from sgam_neurips22_tpu.training.lpips import init_lpips
@@ -85,16 +90,28 @@ class Trainer:
         self.cfg = cfg
         self.logdir = logdir
         self.max_steps = max_steps
+        # host-side side effects (logs, config snapshots) belong
+        # to process 0 — the reference's rank_zero_only discipline
+        self._primary = is_primary()
         os.makedirs(logdir, exist_ok=True)
-        # config snapshot (reference SetupCallback, data/utils/utils.py:314-346)
-        save_yaml(cfg, os.path.join(logdir, "config.yaml"))
+        if self._primary:
+            # config snapshot (reference SetupCallback, data/utils/utils.py:314-346)
+            save_yaml(cfg, os.path.join(logdir, "config.yaml"))
 
         import math
 
+        nproc = jax.process_count()
         bs = int(cfg.data.params.batch_size)
         self.mesh = make_mesh(n_devices)
         ndev = self.mesh.shape["data"]
         if bs % ndev != 0:
+            if nproc > 1:
+                # a multi-host mesh cannot silently shrink (every process's
+                # local chips must stay in the mesh)
+                raise ValueError(
+                    f"batch_size {bs} must be divisible by the {ndev}-device "
+                    f"global mesh ({nproc} processes)"
+                )
             # the global batch must shard evenly over 'data'
             ndev = math.gcd(bs, ndev)
             print(
@@ -157,14 +174,18 @@ class Trainer:
                     "for reference-parity perceptual loss)"
                 )
 
-        self.state = replicate(self.state, self.mesh)
-        self.lpips_params = replicate(self.lpips_params, self.mesh)
+        self.state = replicate_global(self.state, self.mesh)
+        self.lpips_params = replicate_global(self.lpips_params, self.mesh)
 
         self.data = DataModule(
-            device_put=lambda b: shard_batch(b, self.mesh),
+            device_put=lambda b: shard_local_batch(b, self.mesh),
+            process_count=nproc,
+            process_index=jax.process_index(),
             **{k: v for k, v in cfg.data.params.items()},
         )
-        self.metrics = MetricLogger(logdir, use_wandb=use_wandb)
+        self.metrics = MetricLogger(
+            logdir, use_wandb=use_wandb and self._primary
+        )
         self.images = ImageLogger(logdir, wandb_run=self.metrics.wandb)
         self.ckpt = CheckpointManager(
             os.path.join(logdir, "checkpoints"), save_interval_steps=10_000
@@ -203,6 +224,10 @@ class Trainer:
         except (OSError, ValueError):
             pass
         if install_signals:
+            # every process installs the handler: preemption signals all
+            # hosts, and the multi-process emergency path below is
+            # coordination-free (orbax barriers would deadlock if a peer
+            # is already dead)
             install_signal_checkpoint(self._emergency_save)
         self._kmeans_key = jax.random.PRNGKey(seed + 7)
 
@@ -211,6 +236,23 @@ class Trainer:
         """Must never raise: it runs from signal handlers and crash paths."""
         try:
             step = int(self.state["step"])
+            if jax.process_count() > 1:
+                # orbax saves are cooperative (every process must enter the
+                # same barriers) — in an emergency the peers may already be
+                # dead or stuck, so process 0 writes a coordination-free
+                # pickle instead; resume() prefers it when it is newer than
+                # the orbax latest
+                if not self._primary:
+                    return
+                import pickle
+
+                path = os.path.join(self.logdir, "emergency_state.pkl")
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(jax.device_get(self.state), f)
+                os.replace(tmp, path)
+                print(f"emergency pickle at step {step}: {path}")
+                return
             if self.ckpt.latest_step() == step:
                 # the save for this step may still be committing
                 # asynchronously — finalize it before declaring safety
@@ -221,11 +263,32 @@ class Trainer:
         except Exception as e:  # pragma: no cover - best effort
             print(f"emergency checkpoint failed: {e}")
 
+    def _load_emergency(self):
+        """(step, host_state) from the coordination-free emergency pickle,
+        or None."""
+        path = os.path.join(self.logdir, "emergency_state.pkl")
+        if not os.path.exists(path):
+            return None
+        import pickle
+
+        try:
+            with open(path, "rb") as f:
+                st = pickle.load(f)
+            return int(st["step"]), st
+        except Exception as e:
+            print(f"ignoring unreadable emergency pickle: {e}")
+            return None
+
     def resume(self) -> None:
         latest = self.ckpt.latest_step()
+        emergency = self._load_emergency()
+        if emergency is not None and (latest is None or emergency[0] > latest):
+            self.state = replicate_global(emergency[1], self.mesh)
+            print(f"resumed from emergency pickle at step {emergency[0]}")
+            return
         if latest is not None:
             self.state = self.ckpt.restore(jax.device_get(self.state), latest)
-            self.state = replicate(self.state, self.mesh)
+            self.state = replicate_global(self.state, self.mesh)
             print(f"resumed from step {latest}")
 
     def _maybe_kmeans_refresh(self, step: int) -> None:
@@ -267,16 +330,24 @@ class Trainer:
                         self.state, batch, self.lpips_params, self._step_cfg(step)
                     )
                     host_step += 1
-                    if step % 50 == 0:
+                    if step % 50 == 0 and self._primary:
                         logs["lr"] = float(self.train_cfg.lr_at(step))  # LR monitor
                         self.metrics.log(
                             {k: v for k, v in logs.items()}, step
                         )
-                    if self.images.should_log(step):
+                    # image grids need host reads of the global batch — a
+                    # single-process affordance (multi-host runs rely on the
+                    # scalar metrics; panels come from offline evaluate.py)
+                    if jax.process_count() == 1 and self.images.should_log(step):
                         self._log_images(batch, "train", step)
                     # label with the POST-step counter so the checkpoint's
                     # label matches its state['step'] (as the emergency and
-                    # final saves do)
+                    # final saves do). EVERY process calls save: orbax
+                    # coordinates multi-process writes internally (process 0
+                    # writes; the others join its sync barriers — a
+                    # primary-only call would deadlock process 0 in those
+                    # barriers). should_save is deterministic across
+                    # processes (same directory state on shared storage).
                     if self.ckpt.should_save(host_step):
                         self.ckpt.save(host_step, self._host_state())
                     if self.max_steps and step >= self.max_steps:
@@ -305,7 +376,8 @@ class Trainer:
     def _final_save(self) -> None:
         """Persist the end-of-fit state regardless of the save interval (the
         reference's ModelCheckpoint save_last keeps last.ckpt current), so
-        --resume continues from where training actually stopped."""
+        --resume continues from where training actually stopped. Cooperative:
+        every process participates (see the interval save in fit())."""
         step = int(self.state["step"])
         if self.ckpt.latest_step() != step:
             self.ckpt.save(step, self._host_state(), force=True)
@@ -322,14 +394,24 @@ class Trainer:
         self.validate(loader=loader)
 
     def validate(self, loader=None) -> None:
+        import jax.numpy as jnp
+
         step = int(self.state["step"])
         agg: Dict[str, list] = {}
-        usage = np.zeros(self.train_cfg.model.n_embed, np.int64)
+        n_embed = self.train_cfg.model.n_embed
+        usage = np.zeros(n_embed, np.int64)
+        # on-device histogram: val/indices is batch-sharded on a multi-host
+        # mesh (host reads would need a gather); bincount under jit yields a
+        # replicated, locally-readable result on any mesh
+        if not hasattr(self, "_hist_fn"):
+            self._hist_fn = jax.jit(
+                lambda i: jnp.bincount(i.reshape(-1), length=n_embed)
+            )
+        hist = self._hist_fn
         n = 0
         for batch in (loader or self.data.val_loader)():
             logs = eval_step(self.state, batch, self.lpips_params, self.train_cfg)
-            idx = np.asarray(logs.pop("val/indices"))
-            usage += np.bincount(idx.reshape(-1), minlength=len(usage))
+            usage += np.asarray(hist(logs.pop("val/indices")), np.int64)
             for k, v in logs.items():
                 agg.setdefault(k, []).append(float(v))
             n += 1
@@ -337,14 +419,18 @@ class Trainer:
             out = {k: float(np.mean(v)) for k, v in agg.items()}
             # codebook-usage telemetry (reference model.py:408-410)
             out["val/codebook_active_percentage"] = float((usage > 0).mean())
-            self.metrics.log(out, step)
-            print({k: round(v, 5) for k, v in out.items()})
+            if self._primary:
+                self.metrics.log(out, step)
+                print({k: round(v, 5) for k, v in out.items()})
             if self.monitor in out and self.best_ckpt.latest_step() != step:
                 # host-side top-k candidate gate: orbax handles retention,
                 # but a non-candidate save still costs the full device->host
                 # state fetch (~1 GB, ~minutes through the remote-TPU
                 # tunnel) plus a write. Only fetch when this value would
-                # enter the kept top-k.
+                # enter the kept top-k. The gate values are bit-identical
+                # replicated computations, so every process reaches the same
+                # decision and joins the (cooperative, orbax-coordinated)
+                # save together.
                 vals = self._best_vals
                 val = out[self.monitor]
                 if monitor_improves(val, vals, self.monitor_mode):
@@ -354,11 +440,12 @@ class Trainer:
                     self._best_vals = sorted(
                         [*vals, val], reverse=self.monitor_mode == "max"
                     )[:3]
-                    try:
-                        with open(self._best_vals_path, "w") as f:
-                            json.dump(self._best_vals, f)
-                    except OSError:
-                        pass
+                    if self._primary:
+                        try:
+                            with open(self._best_vals_path, "w") as f:
+                                json.dump(self._best_vals, f)
+                        except OSError:
+                            pass
 
     def _log_images(self, batch: Dict[str, Any], split: str, step: int) -> None:
         from sgam_neurips22_tpu.models.conditioning import get_x

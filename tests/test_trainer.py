@@ -111,6 +111,43 @@ def test_trainer_fit_and_resume(codebook_dataset_dir, tmp_path):
     tr2.metrics.close()
 
 
+def test_resume_prefers_newer_emergency_pickle(codebook_dataset_dir, tmp_path):
+    """The multi-process emergency path writes a coordination-free pickle
+    (orbax barriers could deadlock against dead peers); resume() must pick
+    it up when it is newer than the orbax latest, and ignore it otherwise."""
+    import pickle
+
+    import jax
+
+    from sgam_neurips22_tpu.training.trainer import Trainer
+
+    logdir = str(tmp_path / "run")
+    cfg = make_cfg(codebook_dataset_dir)
+    tr = Trainer(cfg, logdir, use_wandb=False, max_steps=2, install_signals=False)
+    tr.fit(epochs=10)
+    saved = int(tr.state["step"])
+    assert tr.ckpt.latest_step() == saved
+
+    # a NEWER emergency pickle wins over the orbax checkpoint
+    host = jax.device_get(tr.state)
+    host["step"] = np.asarray(saved + 5, host["step"].dtype)
+    with open(os.path.join(logdir, "emergency_state.pkl"), "wb") as f:
+        pickle.dump(host, f)
+    tr2 = Trainer(cfg, logdir, use_wandb=False, install_signals=False)
+    tr2.resume()
+    assert int(tr2.state["step"]) == saved + 5
+
+    # an OLDER pickle is ignored in favor of the orbax checkpoint
+    host["step"] = np.asarray(saved - 1, host["step"].dtype)
+    with open(os.path.join(logdir, "emergency_state.pkl"), "wb") as f:
+        pickle.dump(host, f)
+    tr3 = Trainer(cfg, logdir, use_wandb=False, install_signals=False)
+    tr3.resume()
+    assert int(tr3.state["step"]) == saved
+    for t in (tr, tr2, tr3):
+        t.metrics.close()
+
+
 def test_registry_targets_resolve():
     import sgam_neurips22_tpu.targets  # noqa: F401
     from sgam_neurips22_tpu.core.registry import get, instantiate_from_config

@@ -52,6 +52,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "on one v5e (the non-remat step thrashes HBM)")
     p.add_argument("--no_wandb", action="store_true")
     p.add_argument("--debug", action="store_true", help="post-mortem pdb on crash")
+    # multi-host (multi-node DDP equivalent; parallel/distributed.py): run
+    # the same command on every host with its --process_id. Also settable
+    # via SGAM_COORDINATOR / SGAM_NUM_PROCESSES / SGAM_PROCESS_ID.
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (enables multi-host)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     return p
 
 
@@ -70,14 +77,18 @@ def run_name(cfg, opt) -> str:
 
 
 def main(argv=None) -> None:
-    from sgam_neurips22_tpu.core.config import load_configs, load_yaml, merge
-    from sgam_neurips22_tpu.training.trainer import Trainer
-
     opt, unknown = get_parser().parse_known_args(argv)
     if opt.remat:
         unknown = [*unknown, "model.params.ddconfig.remat=true"]
 
     _enable_compilation_cache()
+    # cluster formation must precede ANY import that might touch a device
+    # (jax.distributed.initialize rejects an already-initialized backend)
+    from sgam_neurips22_tpu.parallel import distributed
+
+    distributed.initialize(opt.coordinator, opt.num_processes, opt.process_id)
+    from sgam_neurips22_tpu.core.config import load_configs
+    from sgam_neurips22_tpu.training.trainer import Trainer
 
     if opt.resume and os.path.isdir(opt.resume):
         # reconstitute config from the run dir (reference :26-43)
@@ -87,7 +98,17 @@ def main(argv=None) -> None:
         logdir = opt.resume
     else:
         cfg = load_configs(opt.base, unknown)
-        logdir = os.path.join(opt.logdir, run_name(cfg, opt))
+        name = run_name(cfg, opt)
+        if distributed.process_count() > 1:
+            # every process must share process 0's timestamped run name
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            arr = np.frombuffer(name.ljust(160).encode(), np.uint8)
+            name = bytes(
+                np.asarray(multihost_utils.broadcast_one_to_all(arr))
+            ).decode().strip()
+        logdir = os.path.join(opt.logdir, name)
 
     trainer = Trainer(
         cfg,
