@@ -88,17 +88,20 @@ def _fill_from_nearest_neighbor(depth: jnp.ndarray, feats: jnp.ndarray):
     d = jnp.where(depth <= 0.0, big, depth)
     pad_d = jnp.pad(d, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=big)
     pad_f = jnp.pad(feats, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    stack_d = jnp.stack(
-        [pad_d[:, dy : dy + h, dx : dx + w, 0] for dy in range(3) for dx in range(3)],
-        axis=-1,
-    )  # [B, H, W, 9]
-    k = jnp.argmin(stack_d, axis=-1)
-    best_d = jnp.take_along_axis(stack_d, k[..., None], axis=-1)
-    stack_f = jnp.stack(
-        [pad_f[:, dy : dy + h, dx : dx + w, :] for dy in range(3) for dx in range(3)],
-        axis=-2,
-    )  # [B, H, W, 9, C]
-    best_f = jnp.take_along_axis(stack_f, k[..., None, None], axis=-2)[..., 0, :]
+    # running elementwise min over the 9 neighbors: pure VPU select chains
+    # that XLA fuses into the surrounding splat epilogue. (The first version
+    # stacked [B,H,W,9(,C)] and take_along_axis'd the argmin — gathers that
+    # alone cost more than the strided splat saved; measured 2026-08-17.)
+    best_d = pad_d[:, 0:h, 0:w, :]
+    best_f = pad_f[:, 0:h, 0:w, :]
+    for dy in range(3):
+        for dx in range(3):
+            if dy == 0 and dx == 0:
+                continue
+            nd = pad_d[:, dy : dy + h, dx : dx + w, :]
+            m = nd < best_d
+            best_d = jnp.where(m, nd, best_d)
+            best_f = jnp.where(m, pad_f[:, dy : dy + h, dx : dx + w, :], best_f)
     hole = depth <= 0.0
     ok = best_d < big
     return (
