@@ -102,6 +102,10 @@ class TSDFConfig:
             raise ValueError(f"dims {self.dims} overflow int32 linear indexing")
         if not (0 < self.render_chunk <= (1 << 20)):
             raise ValueError(f"render_chunk {self.render_chunk} not in (0, 2^20]")
+        if self.band_voxels is not None and not (1 <= self.band_voxels <= 8):
+            # 0 would silently fuse nothing (empty depth maps); the auto
+            # path clamps to the same [1, 8] range
+            raise ValueError(f"band_voxels {self.band_voxels} not in [1, 8]")
 
     @property
     def band(self) -> int:

@@ -80,28 +80,6 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def local_slice(global_batch_indices, axis_size: Optional[int] = None):
-    """This process's contiguous slice of one global batch's index list.
-
-    Every process holds the same epoch-deterministic `global_batch_indices`
-    (the Loader shuffles with a shared seed); process p decodes rows
-    [p*local_bs, (p+1)*local_bs). len() must divide evenly — the Trainer
-    validates global_batch % (devices) == 0 and devices is a multiple of
-    process_count, so local_bs is integral.
-    """
-    n = axis_size or jax.process_count()
-    if n <= 1:
-        return global_batch_indices
-    local_bs, rem = divmod(len(global_batch_indices), n)
-    if rem:
-        raise ValueError(
-            f"global batch {len(global_batch_indices)} not divisible by "
-            f"{n} processes"
-        )
-    p = jax.process_index()
-    return global_batch_indices[p * local_bs : (p + 1) * local_bs]
-
-
 def shard_local_batch(batch: Any, mesh, axis: str = "data") -> Any:
     """Assemble global batch-sharded device arrays from this process's
     LOCAL rows (each leaf's leading dim is global_bs / process_count).

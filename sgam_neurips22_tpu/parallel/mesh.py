@@ -27,6 +27,16 @@ def make_mesh(
     factorizable device count for 2-D."""
     devices = jax.devices()
     if n_devices is not None:
+        if jax.process_count() > 1 and n_devices != len(devices):
+            # a prefix of jax.devices() would drop some processes' local
+            # chips from the mesh: their make_array_from_process_local_data
+            # calls fail (or the cooperative save barriers hang) far from
+            # the cause. Multi-host meshes must span every chip.
+            raise ValueError(
+                f"n_devices={n_devices} on a {jax.process_count()}-process "
+                f"cluster with {len(devices)} global devices: multi-host "
+                "meshes must use all devices (omit n_devices)"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if len(axis_names) == 1:

@@ -116,6 +116,25 @@ class SceneGenConfig:
     raycast_interp: str = "nearest"
     pose_file: Optional[str] = None
 
+    def __post_init__(self):
+        s = int(self.splat_stride)
+        if s > 1:
+            h, w = self.image_resolution
+            if s >= min(h, w):
+                raise ValueError(f"splat_stride {s} >= image size {min(h, w)}")
+            n = self.effective_num_src
+            if n < s * s:
+                # full phase coverage needs >= s^2 sources (each source
+                # samples one of the s x s offset cells); fewer sources is
+                # allowed (GE runs 3 srcs at stride 2) but leaves cells
+                # that only the dilation/median fill can close — warn, the
+                # quality cost is silent otherwise
+                print(
+                    f"WARNING: splat_stride={s} with {n} sources covers only "
+                    f"{n}/{s * s} phase cells; raw splat coverage will rely "
+                    "on hole filling (see geometry/splat.py)"
+                )
+
     @property
     def effective_num_src(self) -> int:
         return self.num_src or DEFAULT_NUM_SRC[self.dataset]

@@ -25,6 +25,12 @@ def load_seed_frames(template_dir: str, dataset: str, seed_index: int, resolutio
         ray_to_z_np,
     )
 
+    def sibling(path: str, old: str, new: str, old_ext: str, new_ext: str) -> str:
+        # rewrite ONLY the basename: a str.replace on the full path would
+        # corrupt directory components containing 'dm'/'im'
+        d, base = os.path.split(path)
+        return os.path.join(d, base.replace(old, new, 1)[: -len(old_ext)] + new_ext)
+
     seeds = []
     k = default_intrinsics(dataset, resolution)
     if dataset == "clevr-infinite":
@@ -33,15 +39,13 @@ def load_seed_frames(template_dir: str, dataset: str, seed_index: int, resolutio
             parts = name.split("_")
             i, j = (int(parts[1]), int(parts[2])) if len(parts) >= 3 else (0, 0)
             depth = ray_to_z_np(load_depth(dm_path, resolution), k)
-            rgb = load_rgb(
-                dm_path.replace("dm", "im").replace(".npy", ".png"), resolution
-            )
+            rgb = load_rgb(sibling(dm_path, "dm", "im", ".npy", ".png"), resolution)
             seeds.append(((i, j), rgb, depth.astype(np.float32)))
     elif dataset == "google_earth":
         seed_dir = os.path.join(template_dir, f"seed{seed_index}")
         img_fn = sorted(glob.glob(os.path.join(seed_dir, "im*")))[0]
         rgb = load_rgb(img_fn, resolution)
-        depth = load_depth(img_fn.replace("im", "dm").replace(".png", ".npy"), resolution)
+        depth = load_depth(sibling(img_fn, "im", "dm", ".png", ".npy"), resolution)
         seeds.append(((0, 0), rgb, depth.astype(np.float32)))
     else:
         raise NotImplementedError(dataset)

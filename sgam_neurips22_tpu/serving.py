@@ -53,6 +53,51 @@ def flagship_config(dataset: str = "clevr-infinite", compute_dtype: str = "float
     return cfg
 
 
+def load_inference_params(path: str, params_init: Any) -> Any:
+    """Inference weights from ANY checkpoint this framework touches:
+
+    - reference torch ``.ckpt`` (zip state_dict) via the converter
+    - a params pickle (``.pkl``)
+    - an orbax checkpoint tree from our own train.py: a run dir
+      (``<logdir>/<run>`` containing ``checkpoints/``), the checkpoints
+      dir itself, or a single step dir — latest step wins, and the params
+      subtree is extracted from the saved train state.
+
+    params_init provides the target structure (init_vqmodel output); torch
+    conversion grafts onto it, orbax trees replace it wholesale.
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    if os.path.isdir(path):
+        from sgam_neurips22_tpu.core.checkpoint import CheckpointManager
+
+        sub = os.path.join(path, "checkpoints")
+        ckdir = sub if os.path.isdir(sub) else path
+        if os.path.basename(ckdir.rstrip(os.sep)).isdigit():
+            # a single step dir: its parent is the manager root
+            step = int(os.path.basename(ckdir.rstrip(os.sep)))
+            mgr = CheckpointManager(os.path.dirname(ckdir.rstrip(os.sep)))
+            state = mgr.restore_raw(step)
+        else:
+            state = CheckpointManager(ckdir).restore_raw()
+        params = state.get("params") if isinstance(state, dict) else None
+        if params is None:
+            raise ValueError(f"no 'params' subtree in checkpoint at {path}")
+        return params
+    if path.endswith(".pkl"):
+        import pickle
+
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    from sgam_neurips22_tpu.core.torch_convert import (
+        convert_checkpoint,
+        init_from_ckpt,
+    )
+
+    model_np, _, _ = convert_checkpoint(path)
+    return init_from_ckpt(params_init, model_np)
+
+
 def build_inference_step(model_cfg, topk: int = 1, num_src: int = 5,
                          image_size: int = 256):
     """(fn, example_args) for one conditional-generation inference step on
@@ -197,6 +242,16 @@ class SceneServer:
                     self.output_root,
                     f"req{rid:04d}_{self.scene_cfg.dataset}_seed{seed_index}",
                 )
+                # confine client-supplied paths to output_root: /generate is
+                # an unauthenticated endpoint and must not be an arbitrary-
+                # filesystem-write primitive
+                root = os.path.realpath(self.output_root)
+                resolved = os.path.realpath(out_dir)
+                if not (resolved == root or resolved.startswith(root + os.sep)):
+                    raise ValueError(
+                        f"output_dir must be under output_root ({self.output_root})"
+                    )
+                out_dir = resolved
                 gen.export_frames(out_dir)
                 gen.export_point_clouds(out_dir)
             self.stats["frames"] += n_frames

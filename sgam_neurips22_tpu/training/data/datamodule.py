@@ -268,7 +268,11 @@ class DataModule:
         if os.path.exists(path):
             try:
                 return PackedFrameStore(path)
-            except OSError as e:
+            except Exception as e:
+                # 'auto' must fall back on ANY packed-path failure — the
+                # native loader can raise CalledProcessError (no toolchain),
+                # RuntimeError (stale-ABI .so), or JSONDecodeError
+                # (truncated sidecar), not just OSError
                 if packed is True:
                     raise
                 print(f"packed frame store unusable ({e}); falling back to PNGs")
@@ -302,7 +306,8 @@ class DataModule:
                             f"shard has {ds.channels} channels, config wants {want}"
                         )
                     return ds
-                except OSError as e:
+                except Exception as e:
+                    # see _frame_store: 'auto' falls back on any failure mode
                     if packed is True:
                         raise
                     print(f"packed shard unusable ({e}); falling back to PNGs")

@@ -53,12 +53,19 @@ def test_generate_is_deterministic_and_reuses_the_generator(server, tmp_path):
     assert r1["depth_checksum"] == r2["depth_checksum"]
     assert server.metrics()["requests"] == 2
 
-    out = str(tmp_path / "exported")
+    out = os.path.join(server.output_root, "exported")
     r3 = server.generate({"output_dir": out, "rng_seed": 3})
-    assert r3["output_dir"] == out
+    assert r3["output_dir"] == os.path.realpath(out)
     files = os.listdir(out)
     assert any(f.startswith("im_") and f.endswith(".png") for f in files)
     assert "merged_pcds.ply" in files
+
+    # client-supplied paths outside output_root are rejected (unauthenticated
+    # endpoint must not be an arbitrary-filesystem-write primitive)
+    with pytest.raises(ValueError, match="output_root"):
+        server.generate({"output_dir": str(tmp_path / "escape")})
+    with pytest.raises(ValueError, match="output_root"):
+        server.generate({"output_dir": os.path.join(server.output_root, "..", "up")})
 
 
 def _get(port, path):
@@ -89,10 +96,14 @@ def test_http_api(server, tmp_path):
         assert code == 200 and health["status"] == "ok"
         assert health["dataset"] == "clevr-infinite" and health["grid"] == [3, 3]
 
-        out = str(tmp_path / "http_out")
+        out = os.path.join(server.output_root, "http_out")
         code, res = _post(port, "/generate", {"output_dir": out, "rng_seed": 3})
         assert code == 200, res
         assert res["frames"] == 8 and os.path.isdir(out)
+
+        # path escape over HTTP -> 500 with the confinement error surfaced
+        code, err = _post(port, "/generate", {"output_dir": str(tmp_path / "esc")})
+        assert code == 500 and "output_root" in err["error"]
 
         code, m = _get(port, "/metrics")
         assert code == 200 and m["requests"] >= 1 and m["frames"] >= 8
