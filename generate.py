@@ -42,7 +42,7 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="clevr-infinite",
                    choices=["clevr-infinite", "google_earth"])
-    p.add_argument("--ckpt", default=None, help="torch .ckpt or params pickle")
+    p.add_argument("--ckpt", default=None, help="torch .ckpt, params pickle, or an orbax run/checkpoints dir from train.py")
     p.add_argument("--config", default=None, help="trained-model YAML (reference schema)")
     p.add_argument("--template_dir", default=None)
     p.add_argument("--output_dir", default=None)
@@ -97,7 +97,6 @@ def main(argv=None) -> None:
     jax.config.update("jax_default_matmul_precision", opt.matmul_precision)
 
     from sgam_neurips22_tpu.core.config import load_yaml
-    from sgam_neurips22_tpu.core.torch_convert import convert_checkpoint, init_from_ckpt
     from sgam_neurips22_tpu.models.vqgan.model import VQModelConfig, init_vqmodel
     from sgam_neurips22_tpu.pipeline.scene_generation import (
         InfiniteSceneGeneration,
@@ -125,14 +124,11 @@ def main(argv=None) -> None:
         )
     params = init_vqmodel(jax.random.PRNGKey(0), model_cfg)
     if opt.ckpt and os.path.exists(opt.ckpt):
-        if opt.ckpt.endswith(".pkl"):
-            import pickle
+        from sgam_neurips22_tpu.serving import load_inference_params
 
-            with open(opt.ckpt, "rb") as f:
-                params = pickle.load(f)
-        else:
-            model_np, _, _ = convert_checkpoint(opt.ckpt)
-            params = init_from_ckpt(params, model_np)
+        # torch .ckpt, params .pkl, or an orbax run/checkpoints dir from
+        # our own train.py (latest step)
+        params = load_inference_params(opt.ckpt, params)
         print(f"loaded weights from {opt.ckpt}")
     else:
         print("WARNING: running with randomly initialized weights")

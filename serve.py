@@ -36,25 +36,18 @@ def _enable_compilation_cache():
 def build_server(opt):
     import jax
 
-    from sgam_neurips22_tpu.core.torch_convert import (
-        convert_checkpoint,
-        init_from_ckpt,
-    )
     from sgam_neurips22_tpu.models.vqgan.model import init_vqmodel
     from sgam_neurips22_tpu.pipeline.scene_generation import SceneGenConfig
-    from sgam_neurips22_tpu.serving import SceneServer, flagship_config
+    from sgam_neurips22_tpu.serving import (
+        SceneServer,
+        flagship_config,
+        load_inference_params,
+    )
 
     model_cfg = flagship_config(opt.dataset, compute_dtype=opt.compute_dtype)
     params = init_vqmodel(jax.random.PRNGKey(0), model_cfg)
     if opt.ckpt and os.path.exists(opt.ckpt):
-        if opt.ckpt.endswith(".pkl"):
-            import pickle
-
-            with open(opt.ckpt, "rb") as f:
-                params = pickle.load(f)
-        else:
-            model_np, _, _ = convert_checkpoint(opt.ckpt)
-            params = init_from_ckpt(params, model_np)
+        params = load_inference_params(opt.ckpt, params)
         print(f"[serve] loaded weights from {opt.ckpt}")
     else:
         print("[serve] WARNING: randomly initialized weights")
@@ -80,7 +73,7 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="clevr-infinite",
                    choices=["clevr-infinite", "google_earth"])
-    p.add_argument("--ckpt", default=None, help="torch .ckpt or params pickle")
+    p.add_argument("--ckpt", default=None, help="torch .ckpt, params pickle, or an orbax run/checkpoints dir from train.py")
     p.add_argument("--template_dir", default=None)
     p.add_argument("--output_root", default="serve_out")
     p.add_argument("--rows", type=int, default=None)

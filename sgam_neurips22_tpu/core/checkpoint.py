@@ -93,6 +93,26 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(state_like)
         )
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore WITHOUT a template tree (numpy pytree exactly as saved).
+        Lets inference CLIs load params out of a train-state checkpoint
+        without reconstructing the optimizer-state structure."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        try:
+            return self._mgr.restore(step)
+        except (TypeError, ValueError, FileNotFoundError):
+            # older orbax insists on args= for StandardSave items; the
+            # PyTree reader on the step dir recovers the same tree
+            import os as _os
+
+            d = _os.path.join(self._mgr.directory, str(step))
+            item = _os.path.join(d, "default")
+            return ocp.PyTreeCheckpointer().restore(
+                item if _os.path.isdir(item) else d
+            )
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

@@ -111,6 +111,37 @@ def test_trainer_fit_and_resume(codebook_dataset_dir, tmp_path):
     tr2.metrics.close()
 
 
+def test_load_inference_params_from_orbax_run_dir(codebook_dataset_dir, tmp_path):
+    """generate.py/serve.py --ckpt must accept our own train.py output: a
+    run dir (containing checkpoints/), the checkpoints dir, or one step dir
+    — extracting the params subtree of the saved train state."""
+    import jax
+
+    from sgam_neurips22_tpu.serving import load_inference_params
+    from sgam_neurips22_tpu.training.trainer import Trainer
+
+    logdir = str(tmp_path / "run")
+    cfg = make_cfg(codebook_dataset_dir)
+    tr = Trainer(cfg, logdir, use_wandb=False, max_steps=2, install_signals=False)
+    tr.fit(epochs=10)
+    want = jax.device_get(tr.state["params"])
+    step = int(tr.state["step"])
+    tr.metrics.close()
+
+    flat_want, _ = jax.tree_util.tree_flatten_with_path(want)
+    for path in (
+        logdir,                                            # run dir
+        os.path.join(logdir, "checkpoints"),               # manager root
+        os.path.join(logdir, "checkpoints", str(step)),    # single step dir
+    ):
+        got = load_inference_params(path, params_init=None)
+        flat_got, _ = jax.tree_util.tree_flatten_with_path(got)
+        assert len(flat_got) == len(flat_want), path
+        for (kw, vw), (kg, vg) in zip(flat_want, flat_got):
+            assert kw == kg, path
+            np.testing.assert_array_equal(np.asarray(vw), np.asarray(vg))
+
+
 def test_resume_prefers_newer_emergency_pickle(codebook_dataset_dir, tmp_path):
     """The multi-process emergency path writes a coordination-free pickle
     (orbax barriers could deadlock against dead peers); resume() must pick
