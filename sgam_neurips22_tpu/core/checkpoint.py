@@ -123,6 +123,21 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def restore_raw_from_path(path: str) -> Any:
+    """Raw saved tree (numpy pytree, template-free) from any orbax layout
+    train.py produces: a run dir (``<logdir>/<run>`` containing
+    ``checkpoints/``), the checkpoints dir itself, or a single step dir.
+    Latest step wins."""
+    sub = os.path.join(path, "checkpoints")
+    ckdir = sub if os.path.isdir(sub) else path
+    base = os.path.basename(ckdir.rstrip(os.sep))
+    if base.isdigit():
+        # a single step dir: its parent is the manager root
+        mgr = CheckpointManager(os.path.dirname(ckdir.rstrip(os.sep)))
+        return mgr.restore_raw(int(base))
+    return CheckpointManager(ckdir).restore_raw()
+
+
 def install_signal_checkpoint(save_fn: Callable[[], None]) -> None:
     """SIGUSR1/SIGTERM -> emergency checkpoint (the reference's `melk`
     handler, train_generative_sensing_model.py:204-217; SIGTERM added for

@@ -69,17 +69,9 @@ def load_inference_params(path: str, params_init: Any) -> Any:
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     if os.path.isdir(path):
-        from sgam_neurips22_tpu.core.checkpoint import CheckpointManager
+        from sgam_neurips22_tpu.core.checkpoint import restore_raw_from_path
 
-        sub = os.path.join(path, "checkpoints")
-        ckdir = sub if os.path.isdir(sub) else path
-        if os.path.basename(ckdir.rstrip(os.sep)).isdigit():
-            # a single step dir: its parent is the manager root
-            step = int(os.path.basename(ckdir.rstrip(os.sep)))
-            mgr = CheckpointManager(os.path.dirname(ckdir.rstrip(os.sep)))
-            state = mgr.restore_raw(step)
-        else:
-            state = CheckpointManager(ckdir).restore_raw()
+        state = restore_raw_from_path(path)
         params = state.get("params") if isinstance(state, dict) else None
         if params is None:
             raise ValueError(f"no 'params' subtree in checkpoint at {path}")

@@ -152,11 +152,28 @@ class Trainer:
             )
             print(f"initialized codebook from {km_path}")
         # cross-phase warm start (reference model.py:27,65-66: ckpt_path with
-        # ignore_keys=['loss.discriminator'])
+        # ignore_keys=['loss.discriminator']) — from a reference torch .ckpt
+        # OR our own train.py output (orbax run/checkpoints/step dir):
+        # shape-mismatched leaves (conv_in 4ch codebook vs 5ch conditional)
+        # keep their fresh init, exactly the reference's non-strict load
         ckpt_path = cfg.model.params.get("ckpt_path")
         if ckpt_path and os.path.exists(ckpt_path):
-            model_np, disc_np, _ = convert_checkpoint(ckpt_path)
-            self.state["params"] = init_from_ckpt(self.state["params"], model_np)
+            if os.path.isdir(ckpt_path):
+                from sgam_neurips22_tpu.core.checkpoint import (
+                    restore_raw_from_path,
+                )
+
+                raw = restore_raw_from_path(ckpt_path)
+                self.state["params"] = init_from_ckpt(
+                    self.state["params"], raw.get("params", {})
+                )
+                if "disc_params" in raw:
+                    self.state["disc_params"] = init_from_ckpt(
+                        self.state["disc_params"], raw["disc_params"]
+                    )
+            else:
+                model_np, disc_np, _ = convert_checkpoint(ckpt_path)
+                self.state["params"] = init_from_ckpt(self.state["params"], model_np)
             print(f"warm-started model weights from {ckpt_path}")
 
         if lpips_weights and os.path.exists(lpips_weights):

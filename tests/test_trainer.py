@@ -142,6 +142,40 @@ def test_load_inference_params_from_orbax_run_dir(codebook_dataset_dir, tmp_path
             np.testing.assert_array_equal(np.asarray(vw), np.asarray(vg))
 
 
+def test_warm_start_from_orbax_run_dir(codebook_dataset_dir, tmp_path):
+    """model.params.ckpt_path accepts our own train.py run dir (the
+    reference workflow warm-starts the conditional phase from the codebook
+    checkpoint; with this stack that checkpoint is orbax): params AND
+    discriminator graft in, non-strictly."""
+    import jax
+
+    from sgam_neurips22_tpu.training.trainer import Trainer
+
+    logdir = str(tmp_path / "phase1")
+    cfg = make_cfg(codebook_dataset_dir)
+    tr = Trainer(cfg, logdir, use_wandb=False, max_steps=2, install_signals=False)
+    tr.fit(epochs=10)
+    want = jax.device_get(tr.state["params"])
+    want_disc = jax.device_get(tr.state["disc_params"])
+    tr.metrics.close()
+
+    cfg2 = make_cfg(codebook_dataset_dir)
+    cfg2.model.params["ckpt_path"] = logdir
+    tr2 = Trainer(
+        cfg2, str(tmp_path / "phase2"), use_wandb=False, install_signals=False
+    )
+    for got, ref in (
+        (jax.device_get(tr2.state["params"]), want),
+        (jax.device_get(tr2.state["disc_params"]), want_disc),
+    ):
+        fg = jax.tree_util.tree_leaves(got)
+        fr = jax.tree_util.tree_leaves(ref)
+        assert len(fg) == len(fr)
+        for a, b in zip(fg, fr):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tr2.metrics.close()
+
+
 def test_resume_prefers_newer_emergency_pickle(codebook_dataset_dir, tmp_path):
     """The multi-process emergency path writes a coordination-free pickle
     (orbax barriers could deadlock against dead peers); resume() must pick
