@@ -86,7 +86,8 @@ def bench_vqgan_roundtrip() -> dict:
     }
 
 
-def bench_train(phase: str, bs_override: int = 0, dtype: str = "float32") -> dict:
+def bench_train(phase: str, bs_override: int = 0, dtype: str = "float32",
+                profile: str | None = None) -> dict:
     """Training throughput: the full two-optimizer GAN step (L1 + LPIPS +
     adaptive-weight GAN + codebook loss) on the flagship model with
     level-remat, reference batch sizes (codebook bs 8; conditional bs 16
@@ -142,12 +143,17 @@ def bench_train(phase: str, bs_override: int = 0, dtype: str = "float32") -> dic
         print(f"# cost analysis unavailable: {e}", flush=True)
     state, logs = train_step(state, batch, lp, cfg)
     float(logs["aeloss"])  # compile + settle
+    from contextlib import nullcontext
+
+    if profile:
+        from sgam_neurips22_tpu.utils.profiling import trace as xprof
     times = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        state, logs = train_step(state, batch, lp, cfg)
-        float(logs["aeloss"])
-        times.append(time.perf_counter() - t0)
+    with xprof(profile) if profile else nullcontext():
+        for _ in range(4):
+            t0 = time.perf_counter()
+            state, logs = train_step(state, batch, lp, cfg)
+            float(logs["aeloss"])
+            times.append(time.perf_counter() - t0)
     dt = min(times)
     tag = "" if dtype == "float32" else f", {dtype}"
     record = {
@@ -290,7 +296,9 @@ def main() -> None:
         phase = {"codebook": "codebook", "conditional": "conditional_generation"}[
             args.config[len("train_"):]
         ]
-        print(json.dumps(bench_train(phase, args.train_bs, args.train_dtype)))
+        print(json.dumps(
+            bench_train(phase, args.train_bs, args.train_dtype, args.profile)
+        ))
         return
     if args.config == "step":
         args.frames, args.per_step = 8, True

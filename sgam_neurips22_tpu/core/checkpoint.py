@@ -100,18 +100,17 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError("no checkpoint found")
+        # read the StandardSave item directly with the PyTree reader: the
+        # manager's template-free restore path warns (and on this orbax
+        # version fails) without a CheckpointArgs
+        d = os.path.join(str(self._mgr.directory), str(step))
+        item = os.path.join(d, "default")
         try:
-            return self._mgr.restore(step)
-        except (TypeError, ValueError, FileNotFoundError):
-            # older orbax insists on args= for StandardSave items; the
-            # PyTree reader on the step dir recovers the same tree
-            import os as _os
-
-            d = _os.path.join(self._mgr.directory, str(step))
-            item = _os.path.join(d, "default")
             return ocp.PyTreeCheckpointer().restore(
-                item if _os.path.isdir(item) else d
+                item if os.path.isdir(item) else d
             )
+        except (TypeError, ValueError, FileNotFoundError):
+            return self._mgr.restore(step)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
