@@ -108,6 +108,15 @@ class TSDFConfig:
             raise ValueError(f"band_voxels {self.band_voxels} not in [1, 8]")
 
     @property
+    def chunk(self) -> int:
+        """Render-chunk size actually used by the pool splat."""
+        return min(self.pool_capacity, self.render_chunk)
+
+    @property
+    def n_chunks(self) -> int:
+        return -(-self.pool_capacity // self.chunk)
+
+    @property
     def band(self) -> int:
         """Half-width of the fused band, in voxels (capped: band samples are
         the integrate cost, O(pixels x 2*band) scatter-adds per frame)."""
@@ -134,6 +143,13 @@ class TSDFVolume:
     # cost ~0.8 ms/frame); stale keys from earlier frames always lose the max
     frame: jnp.ndarray  # [] int32 frames integrated so far
     claim: jnp.ndarray  # [X*Y*Z] int32 generation-keyed claim entries
+    # per-render-chunk voxel-coordinate bounds of the pool entries stored in
+    # that chunk (grow-only; maintained by integrate via two small scatters).
+    # The pool splat culls whole chunks whose bbox lies outside the target
+    # frustum — on long trajectories (GE 100x1) most of the map is behind
+    # the camera and its chunks never pay projection or scatter.
+    chunk_lo: jnp.ndarray  # [C, 3] int32 (init 2^30: empty)
+    chunk_hi: jnp.ndarray  # [C, 3] int32 (init -1: empty)
 
     @property
     def tsdf(self) -> jnp.ndarray:
@@ -157,6 +173,8 @@ def create_volume(cfg: TSDFConfig) -> TSDFVolume:
         stats=jnp.zeros(3, jnp.float32),
         frame=jnp.zeros((), jnp.int32),
         claim=jnp.zeros(x * y * z, jnp.int32),
+        chunk_lo=jnp.full((cfg.n_chunks, 3), 1 << 30, jnp.int32),
+        chunk_hi=jnp.full((cfg.n_chunks, 3), -1, jnp.int32),
     )
 
 
@@ -366,6 +384,13 @@ def integrate(
     n_added = jnp.sum(fits.astype(jnp.int32))
     n_dropped = jnp.sum((new & ~fits).astype(jnp.float32))
 
+    # per-render-chunk bbox of the newly pooled voxels (grow-only): two
+    # tiny scatters keep the splat's frustum culling conservative-correct
+    cand_g = g[..., band - 1, :].reshape(-1, 3)
+    ci = jnp.where(fits, slots // cfg.chunk, cfg.n_chunks)
+    chunk_lo = vol.chunk_lo.at[ci].min(cand_g, mode="drop")
+    chunk_hi = vol.chunk_hi.at[ci].max(cand_g, mode="drop")
+
     return TSDFVolume(
         grid=grid,
         flags=flags,
@@ -374,6 +399,8 @@ def integrate(
         stats=vol.stats + jnp.stack([n_valid, n_fused, n_dropped]),
         frame=vol.frame + 1,
         claim=claim,
+        chunk_lo=chunk_lo,
+        chunk_hi=chunk_hi,
     )
 
 
@@ -458,12 +485,45 @@ def _render_depth_splat(
 
     sentinel = jnp.uint32(0xFFFFFFFF)
     # The packed key indexes up to 2^20 points; the pool splats in
-    # cfg.render_chunk-sized pieces and chunks entirely beyond pool_count
-    # are skipped via lax.cond — projection AND scatter. The pool fills
-    # gradually over a scene unroll, so frames pay O(slots in use), not
-    # O(capacity) (a full 2^20-slot chunk costs ~10.5 ms on v5e; a 2^17
-    # chunk ~1/8 of that).
+    # cfg.render_chunk-sized pieces. A chunk is skipped via lax.cond —
+    # projection AND scatter — when it is beyond pool_count (the pool fills
+    # gradually, so frames pay O(slots in use)) OR when its voxel bbox lies
+    # entirely outside the target frustum (on long trajectories most of the
+    # map is behind the camera; a full 2^20-slot chunk costs ~10.5 ms on
+    # v5e, so every culled chunk is pure savings).
     chunk = min(p, cfg.render_chunk)
+
+    def chunk_visible(ci: int):
+        lo = vol.chunk_lo[ci]
+        hi = vol.chunk_hi[ci]
+        nonempty = jnp.all(hi >= lo)
+        # 8 world-space bbox corners -> camera frame
+        lo_w = lo.astype(jnp.float32) * cfg.voxel_size + jnp.asarray(cfg.origin)
+        hi_w = (hi + 1).astype(jnp.float32) * cfg.voxel_size + jnp.asarray(
+            cfg.origin
+        )
+        sel = jnp.asarray(
+            [[(k >> 2) & 1, (k >> 1) & 1, k & 1] for k in range(8)],
+            jnp.float32,
+        )
+        corners = lo_w * (1 - sel) + hi_w * sel  # [8, 3]
+        cam = corners @ r.T + t
+        z = cam[:, 2]
+        all_behind = jnp.all(z < max(near, 1e-3))
+        all_beyond = jnp.all(z > far)
+        # image-bounds cull is only conservative when the whole box is in
+        # front of the camera (projection of a convex set then lies in the
+        # hull of the projected vertices)
+        zs = jnp.maximum(z, 1e-6)
+        u = intrinsics[0, 0] * cam[:, 0] / zs + intrinsics[0, 2]
+        v = intrinsics[1, 1] * cam[:, 1] / zs + intrinsics[1, 2]
+        all_front = jnp.all(z > 1e-3)
+        off_image = all_front & (
+            jnp.all(u < -0.5) | jnp.all(u >= w - 0.5)
+            | jnp.all(v < -0.5) | jnp.all(v >= h - 0.5)
+        )
+        return nonempty & ~(all_behind | all_beyond | off_image)
+
     best = None
     chunk_sel = jnp.zeros((h * w,), jnp.int32)
     for ci, c0 in enumerate(range(0, p, chunk)):
@@ -496,14 +556,11 @@ def _render_depth_splat(
                 .min(key, mode="drop")
             )
 
-        if c0 == 0:
-            win = scatter_chunk()
-        else:
-            win = jax.lax.cond(
-                vol.pool_count > c0,
-                scatter_chunk,
-                lambda: jnp.full((h * w,), sentinel, jnp.uint32),
-            )
+        win = jax.lax.cond(
+            (vol.pool_count > c0) & chunk_visible(ci),
+            scatter_chunk,
+            lambda: jnp.full((h * w,), sentinel, jnp.uint32),
+        )
         if best is None:
             best = win
         else:

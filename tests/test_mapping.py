@@ -54,6 +54,34 @@ def test_integrate_then_rerender_recovers_plane():
         np.testing.assert_allclose(center, 3.0, atol=0.08, err_msg=method)
 
 
+def test_pool_splat_frustum_culling_is_lossless():
+    """Chunk-bbox frustum culling must never change the rendered depth:
+    compare against the same volume with every chunk bbox widened to the
+    whole grid (nothing cullable). A camera turned 180 deg sees an empty
+    map either way."""
+    from sgam_neurips22_tpu.mapping.tsdf import _render_depth_splat
+
+    vol = create_volume(CFG)
+    depth, rgb = flat_wall_frame(3.0)
+    vol = integrate(vol, CFG, depth, rgb, K, jnp.eye(4))
+    d1 = np.asarray(_render_depth_splat(vol, CFG, K, jnp.eye(4), (H, W), 1.0, 5.0))
+    wide = vol.replace(
+        chunk_lo=jnp.zeros_like(vol.chunk_lo),
+        chunk_hi=jnp.broadcast_to(
+            jnp.asarray(CFG.dims, jnp.int32) - 1, vol.chunk_hi.shape
+        ),
+    )
+    d2 = np.asarray(_render_depth_splat(wide, CFG, K, jnp.eye(4), (H, W), 1.0, 5.0))
+    np.testing.assert_array_equal(d1, d2)
+    assert (d1[16:32, 16:32] > 0).all()
+
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])  # look down -z: wall is behind
+    d3 = np.asarray(
+        _render_depth_splat(vol, CFG, K, jnp.asarray(flip), (H, W), 1.0, 5.0)
+    )
+    assert (d3 == 0).all()
+
+
 def test_rerender_from_shifted_pose():
     """Render the fused wall from a camera moved 0.5m back: depth ~3.5."""
     vol = create_volume(CFG)
@@ -281,9 +309,14 @@ def test_pool_capacity_beyond_packed_key_limit_chunks():
     shifted = np.zeros_like(ids)
     shifted[MAX_POOL_CAPACITY : MAX_POOL_CAPACITY + n] = ids[:n]
     # make grid observed around the surface regardless (already is)
+    # (the manual shift must move the frustum-culling bbox with the
+    # entries — integrate() maintains it per chunk)
+    ci = MAX_POOL_CAPACITY // big.chunk
     vol2 = vol.replace(
         pool_ids=jnp.asarray(shifted),
         pool_count=jnp.asarray(MAX_POOL_CAPACITY + n, jnp.int32),
+        chunk_lo=vol.chunk_lo.at[ci].set(vol.chunk_lo[0]),
+        chunk_hi=vol.chunk_hi.at[ci].set(vol.chunk_hi[0]),
     )
     r = np.asarray(
         _render_depth_splat(vol2, big, K, jnp.eye(4), (H, W), 1.0, 5.0)

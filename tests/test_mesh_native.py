@@ -32,6 +32,8 @@ def sphere_volume(n=48, radius=1.0):
         stats=np.zeros(3, np.float32),
         frame=np.zeros((), np.int32),
         claim=np.zeros(n * n * n, np.int32),
+        chunk_lo=np.full((cfg.n_chunks, 3), 1 << 30, np.int32),
+        chunk_hi=np.full((cfg.n_chunks, 3), -1, np.int32),
     )
     return vol, cfg
 
