@@ -68,6 +68,27 @@ def test_generate_is_deterministic_and_reuses_the_generator(server, tmp_path):
         server.generate({"output_dir": os.path.join(server.output_root, "..", "up")})
 
 
+def test_server_map_requery_mode(tmp_path):
+    """SceneServer in use_rgbd_integration mode: the TSDF volume is rebuilt
+    per request (reset) and generation stays deterministic across requests."""
+    tpl = tmp_path / "tpl"
+    os.makedirs(tpl)
+    rng = np.random.default_rng(9)
+    img = rng.uniform(0, 255, (H, W, 3)).astype(np.uint8)
+    Image.fromarray(img).save(tpl / "im_00000_0_0.png")
+    np.save(tpl / "dm_00000_0_0.npy", rng.uniform(8, 14, (H, W)).astype(np.float32))
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2), num_src=3, topk=1,
+        image_resolution=(H, W), use_rgbd_integration=True,
+    )
+    params = init_vqmodel(jax.random.PRNGKey(0), TINY)
+    srv = SceneServer(params, TINY, cfg, str(tpl), output_root=str(tmp_path / "o"))
+    r1 = srv.generate({"export": False})
+    r2 = srv.generate({"export": False})
+    assert r1["frames"] == r2["frames"] == 3
+    assert r1["depth_checksum"] == r2["depth_checksum"]
+
+
 def _get(port, path):
     with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=30) as r:
         return r.status, json.loads(r.read())
