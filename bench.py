@@ -156,6 +156,9 @@ def bench_train(phase: str, bs_override: int = 0, dtype: str = "float32",
             times.append(time.perf_counter() - t0)
     dt = min(times)
     tag = "" if dtype == "float32" else f", {dtype}"
+    if profile:
+        # trace-inflated timings must not masquerade as clean records
+        tag += ", profiled"
     record = {
         "metric": f"train images/sec/chip ({phase} phase, GAN+LPIPS step, bs {bs}, remat{tag})",
         "value": round(bs / dt, 3),

@@ -1,9 +1,10 @@
 """Scene-generation CLI: autoregressively unroll a scene from a seed frame.
 
 Rebuild of reference main_scene_generation.py (:15-54): loads a
-trained-model YAML + checkpoint (torch .ckpt via the converter, or a pickle
-of converted params), copies the dataset's seed template(s), runs
-`scene_expansion`, writes frames + point clouds in the reference layout.
+trained-model YAML + checkpoint (torch .ckpt via the converter, a pickle of
+converted params, or an orbax run/checkpoints dir from our own train.py),
+copies the dataset's seed template(s), runs `scene_expansion`, writes
+frames + point clouds in the reference layout.
 
 Usage:
   python generate.py --dataset clevr-infinite --ckpt trained_models/clevr-infinite/last.ckpt \

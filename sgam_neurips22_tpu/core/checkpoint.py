@@ -130,8 +130,14 @@ def restore_raw_from_path(path: str) -> Any:
     sub = os.path.join(path, "checkpoints")
     ckdir = sub if os.path.isdir(sub) else path
     base = os.path.basename(ckdir.rstrip(os.sep))
-    if base.isdigit():
-        # a single step dir: its parent is the manager root
+    # a step dir's basename is numeric AND it holds orbax step content —
+    # a run dir merely NAMED '123' (train.py -n 123) must not be
+    # misrouted to its parent as if it were a step
+    looks_like_step = base.isdigit() and (
+        os.path.isdir(os.path.join(ckdir, "default"))
+        or os.path.exists(os.path.join(ckdir, "_CHECKPOINT_METADATA"))
+    )
+    if looks_like_step:
         mgr = CheckpointManager(os.path.dirname(ckdir.rstrip(os.sep)))
         return mgr.restore_raw(int(base))
     return CheckpointManager(ckdir).restore_raw()

@@ -491,7 +491,10 @@ def _render_depth_splat(
     # entirely outside the target frustum (on long trajectories most of the
     # map is behind the camera; a full 2^20-slot chunk costs ~10.5 ms on
     # v5e, so every culled chunk is pure savings).
-    chunk = min(p, cfg.render_chunk)
+    # MUST be cfg.chunk: integrate's bbox maintenance maps slots to chunks
+    # with the same quantity — a divergent copy here would desynchronize
+    # the cull from the bboxes and drop visible surface points.
+    chunk = cfg.chunk
 
     def chunk_visible(ci: int):
         lo = vol.chunk_lo[ci]

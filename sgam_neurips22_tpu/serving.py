@@ -75,6 +75,23 @@ def load_inference_params(path: str, params_init: Any) -> Any:
         params = state.get("params") if isinstance(state, dict) else None
         if params is None:
             raise ValueError(f"no 'params' subtree in checkpoint at {path}")
+        if params_init is not None:
+            # fail at LOAD time on a config/checkpoint mismatch (wrong
+            # dataset's n_embed, codebook-phase conv_in, ...) instead of
+            # minutes later inside XLA compile of the first request
+            import jax
+
+            flat_i = jax.tree_util.tree_flatten_with_path(params_init)[0]
+            flat_c = jax.tree_util.tree_flatten_with_path(params)[0]
+            want = {jax.tree_util.keystr(k): tuple(v.shape) for k, v in flat_i}
+            got = {jax.tree_util.keystr(k): tuple(v.shape) for k, v in flat_c}
+            for k, shape in want.items():
+                if k not in got or got[k] != shape:
+                    raise ValueError(
+                        f"checkpoint at {path} does not match the model "
+                        f"config: {k} wants {shape}, checkpoint has "
+                        f"{got.get(k)}"
+                    )
         return params
     if path.endswith(".pkl"):
         import pickle

@@ -164,13 +164,17 @@ class Trainer:
                 )
 
                 raw = restore_raw_from_path(ckpt_path)
-                self.state["params"] = init_from_ckpt(
-                    self.state["params"], raw.get("params", {})
-                )
-                if "disc_params" in raw:
-                    self.state["disc_params"] = init_from_ckpt(
-                        self.state["disc_params"], raw["disc_params"]
+                if not isinstance(raw, dict) or "params" not in raw:
+                    raise ValueError(
+                        f"no 'params' subtree in checkpoint at {ckpt_path}"
                     )
+                self.state["params"] = init_from_ckpt(
+                    self.state["params"], raw["params"]
+                )
+                # the discriminator is deliberately NOT grafted — the
+                # reference's warm start drops it (ignore_keys=
+                # ['loss.discriminator']) and the torch branch below
+                # matches; both formats must behave identically
             else:
                 model_np, disc_np, _ = convert_checkpoint(ckpt_path)
                 self.state["params"] = init_from_ckpt(self.state["params"], model_np)

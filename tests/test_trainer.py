@@ -141,12 +141,19 @@ def test_load_inference_params_from_orbax_run_dir(codebook_dataset_dir, tmp_path
             assert kw == kg, path
             np.testing.assert_array_equal(np.asarray(vw), np.asarray(vg))
 
+    # with a params_init template, a config/checkpoint mismatch fails at
+    # LOAD time (not minutes later inside XLA compile)
+    with pytest.raises(ValueError, match="does not match"):
+        load_inference_params(logdir, params_init={"bogus": np.zeros((2, 2))})
+
 
 def test_warm_start_from_orbax_run_dir(codebook_dataset_dir, tmp_path):
     """model.params.ckpt_path accepts our own train.py run dir (the
     reference workflow warm-starts the conditional phase from the codebook
-    checkpoint; with this stack that checkpoint is orbax): params AND
-    discriminator graft in, non-strictly."""
+    checkpoint; with this stack that checkpoint is orbax): MODEL params
+    graft in non-strictly, the discriminator stays freshly initialized
+    (reference ignore_keys=['loss.discriminator'] — both checkpoint
+    formats must behave identically)."""
     import jax
 
     from sgam_neurips22_tpu.training.trainer import Trainer
@@ -156,23 +163,27 @@ def test_warm_start_from_orbax_run_dir(codebook_dataset_dir, tmp_path):
     tr = Trainer(cfg, logdir, use_wandb=False, max_steps=2, install_signals=False)
     tr.fit(epochs=10)
     want = jax.device_get(tr.state["params"])
-    want_disc = jax.device_get(tr.state["disc_params"])
+    trained_disc = jax.device_get(tr.state["disc_params"])
     tr.metrics.close()
 
     cfg2 = make_cfg(codebook_dataset_dir)
     cfg2.model.params["ckpt_path"] = logdir
+    # a different init seed: grafted leaves must still equal the checkpoint,
+    # while the (deliberately ungrafted) discriminator must NOT
     tr2 = Trainer(
-        cfg2, str(tmp_path / "phase2"), use_wandb=False, install_signals=False
+        cfg2, str(tmp_path / "phase2"), seed=99, use_wandb=False,
+        install_signals=False,
     )
-    for got, ref in (
-        (jax.device_get(tr2.state["params"]), want),
-        (jax.device_get(tr2.state["disc_params"]), want_disc),
-    ):
-        fg = jax.tree_util.tree_leaves(got)
-        fr = jax.tree_util.tree_leaves(ref)
-        assert len(fg) == len(fr)
-        for a, b in zip(fg, fr):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    fg = jax.tree_util.tree_leaves(jax.device_get(tr2.state["params"]))
+    fr = jax.tree_util.tree_leaves(want)
+    assert len(fg) == len(fr)
+    for a, b in zip(fg, fr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    disc2 = jax.tree_util.tree_leaves(jax.device_get(tr2.state["disc_params"]))
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(disc2, jax.tree_util.tree_leaves(trained_disc))
+    )
     tr2.metrics.close()
 
 
