@@ -110,6 +110,18 @@ def main(argv=None) -> None:
             ).decode().strip()
         logdir = os.path.join(opt.logdir, name)
 
+    # SIGUSR2 -> live debugger attach mid-run (the reference's pudb hook,
+    # train_generative_sensing_model.py:211-213; pdb — pudb isn't vendored)
+    import signal
+
+    def _usr2(signum, frame):
+        import pdb
+
+        print("SIGUSR2: entering pdb at the current frame (c to continue)")
+        pdb.Pdb().set_trace(frame)
+
+    signal.signal(signal.SIGUSR2, _usr2)
+
     trainer = Trainer(
         cfg,
         logdir,
