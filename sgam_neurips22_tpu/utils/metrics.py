@@ -21,13 +21,17 @@ def psnr(
 ) -> Union[float, Tuple[float, float]]:
     """20*log10(255/sqrt(mse)); with a mask also returns the visible-only
     variant (reference metrics.py:16-23)."""
+    def _db(mse: float) -> float:
+        # identical images -> +inf dB, without a divide-by-zero warning
+        return float(20 * np.log10(255.0 / np.sqrt(mse))) if mse > 0 else np.inf
+
     mse = np.mean((img1.astype(np.float64) - img2.astype(np.float64)) ** 2)
-    full = 20 * np.log10(255.0 / np.sqrt(mse))
+    full = _db(mse)
     if visibility_mask is None:
-        return float(full)
+        return full
     diff2 = (img1.astype(np.float64) - img2.astype(np.float64)) ** 2
     vis = (diff2 * visibility_mask).sum() / visibility_mask.sum()
-    return float(full), float(20 * np.log10(255.0 / np.sqrt(vis)))
+    return full, _db(vis)
 
 
 def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
