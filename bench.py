@@ -286,6 +286,29 @@ def main() -> None:
 
     _enable_compilation_cache()
 
+    # fail FAST and loudly if the (remote) backend is unreachable — a hung
+    # device init otherwise stalls the caller with no artifact at all
+    # (observed: the axon tunnel wedged server-side; jax.devices() blocked
+    # indefinitely). Tunable via SGAM_BENCH_INIT_TIMEOUT seconds.
+    import threading
+
+    _init_done = threading.Event()
+    _budget = int(os.environ.get("SGAM_BENCH_INIT_TIMEOUT", "900"))
+
+    def _bail():
+        if not _init_done.is_set():
+            print(
+                f"bench: backend unreachable after {_budget}s "
+                "(jax.devices() never returned)", file=sys.stderr, flush=True,
+            )
+            os._exit(17)
+
+    _t = threading.Timer(_budget, _bail)
+    _t.daemon = True
+    _t.start()
+    jax.devices()
+    _init_done.set()
+
     if args.matmul_precision:
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
