@@ -279,14 +279,22 @@ class SceneServer:
         }
 
     def health(self) -> Dict[str, Any]:
-        import jax
+        # device info is cached after the first successful query: /healthz
+        # is the liveness probe and must stay responsive even if the
+        # (remote) backend wedges mid-run — jax.device_count() blocks
+        # indefinitely exactly then (observed live on the tunnel)
+        if not hasattr(self, "_device_info"):
+            import jax
 
+            self._device_info = {
+                "devices": jax.device_count(),
+                "backend": jax.default_backend(),
+            }
         return {
             "status": "ok",
             "dataset": self.scene_cfg.dataset,
             "grid": list(self.scene_cfg.output_dim),
-            "devices": jax.device_count(),
-            "backend": jax.default_backend(),
+            **self._device_info,
             "compiled": self._compiled,
             "uptime_seconds": round(time.time() - self.stats["started"], 1),
         }
