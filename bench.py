@@ -265,6 +265,9 @@ def main() -> None:
     p.add_argument("--splat_stride", type=int, default=1,
                    help="splat conditioning: splat every s-th source pixel "
                         "with per-source phase offsets (1 = reference)")
+    p.add_argument("--tsdf_chunk", type=int, default=0,
+                   help="map-requery: pool-splat render-chunk granularity "
+                        "(0 = 2^18; finer sharpens pool-count/frustum culls)")
     p.add_argument("--tsdf_band", type=int, default=0,
                    help="map-requery: fused band half-width in voxels "
                         "(0 = auto from sdf_trunc; the band scatter is the "
@@ -388,6 +391,7 @@ def main() -> None:
         use_rgbd_integration=args.rgbd_integration,
         tsdf_integrate_stride=args.tsdf_stride,
         tsdf_band_voxels=args.tsdf_band or None,
+        tsdf_render_chunk=args.tsdf_chunk or None,
         splat_stride=args.splat_stride,
     )
     # use the reference's real seed template when its checkout is present

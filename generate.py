@@ -83,6 +83,10 @@ def main(argv=None) -> None:
     p.add_argument("--tsdf_integrate_stride", type=int, default=1,
                    help="map-requery fast mode: fuse every s-th ray "
                         "(near-lossless at s=2: voxel footprints span ~2 px)")
+    p.add_argument("--tsdf_render_chunk", type=int, default=0,
+                   help="map-requery pool-splat chunk granularity (0 = 2^18); "
+                        "finer chunks sharpen the pool-count and frustum "
+                        "culls on large-pool scenes (google_earth)")
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="model activation dtype; bfloat16 = production fast "
@@ -150,6 +154,7 @@ def main(argv=None) -> None:
         image_resolution=resolution,
         splat_stride=opt.splat_stride,
         tsdf_integrate_stride=opt.tsdf_integrate_stride,
+        tsdf_render_chunk=opt.tsdf_render_chunk or None,
     )
     template_dir = opt.template_dir or os.path.join("templates", opt.dataset)
     if opt.batch_seeds:

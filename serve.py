@@ -62,6 +62,7 @@ def build_server(opt):
         image_resolution=(opt.resolution, opt.resolution),
         splat_stride=opt.splat_stride,
         tsdf_integrate_stride=opt.tsdf_integrate_stride,
+        tsdf_render_chunk=opt.tsdf_render_chunk or None,
     )
     template_dir = opt.template_dir or os.path.join("templates", opt.dataset)
     return SceneServer(
@@ -83,6 +84,8 @@ def main(argv=None) -> None:
     p.add_argument("--use_rgbd_integration", action="store_true")
     p.add_argument("--splat_stride", type=int, default=1)
     p.add_argument("--tsdf_integrate_stride", type=int, default=1)
+    p.add_argument("--tsdf_render_chunk", type=int, default=0,
+                   help="pool-splat chunk granularity (0 = 2^18)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="bfloat16 = production serving default (+19%% "

@@ -189,6 +189,7 @@ def auto_config(
     pool_capacity: Optional[int] = None,
     band_voxels: Optional[int] = None,
     integrate_stride: int = 1,
+    render_chunk: int = 1 << 18,
     verbose: bool = True,
 ) -> TSDFConfig:
     """Size/place the volume from the trajectory ∪ viewing-frustum hull.
@@ -265,6 +266,7 @@ def auto_config(
         band_voxels=band_voxels,
         pool_capacity=pool_capacity,
         integrate_stride=integrate_stride,
+        render_chunk=render_chunk,
     )
 
 

@@ -107,6 +107,11 @@ class SceneGenConfig:
     # the splat renderer's sub-voxel refinement only needs the field one
     # voxel around the crossing (tests pin band-4 vs band-8 render parity)
     tsdf_band_voxels: Optional[int] = None
+    # pool-splat render-chunk granularity (None = 2^18). Chunks beyond
+    # pool_count or outside the target frustum are cond-skipped, so a finer
+    # chunk sharpens both culls at a small per-chunk fixed cost; tune for
+    # large-pool scenes (google_earth's 0.01 m voxels -> multi-chunk pools)
+    tsdf_render_chunk: Optional[int] = None
     raycast_samples: int = 192
     # map re-query renderer: 'splat' = O(surface pool) packed z-buffer (the
     # fast path); 'raycast' = classic ray marching (O(rays x samples))
@@ -181,6 +186,7 @@ def _tsdf_config(
             pool_capacity=cfg.tsdf_pool_capacity or (1 << 19),
             integrate_stride=cfg.tsdf_integrate_stride,
             band_voxels=cfg.tsdf_band_voxels,
+            render_chunk=cfg.tsdf_render_chunk or (1 << 18),
         )
     # auto: contain the full trajectory ∪ viewing-frustum hull (the
     # reference's ScalableTSDFVolume is unbounded, inference_pipeline.py:122)
@@ -196,6 +202,7 @@ def _tsdf_config(
         pool_capacity=cfg.tsdf_pool_capacity,
         integrate_stride=cfg.tsdf_integrate_stride,
         band_voxels=cfg.tsdf_band_voxels,
+        render_chunk=cfg.tsdf_render_chunk or (1 << 18),
     )
 
 

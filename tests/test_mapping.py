@@ -436,3 +436,44 @@ def test_band4_renders_like_band8():
     c8, c4 = rendered[None][8:40, 8:40], rendered[4][8:40, 8:40]
     assert (c4 > 0).all(), "band-4 map must still cover the wall"
     np.testing.assert_allclose(c4, c8, atol=0.05)
+
+
+def test_render_chunk_granularity_is_lossless():
+    """`render_chunk` is a pure performance knob (pool-count + frustum cull
+    granularity): the rendered depth must be bit-identical across chunk
+    sizes, including chunks that do not divide the pool capacity."""
+    depth, rgb = flat_wall_frame(3.0)
+    ext = jnp.eye(4)
+    outs = []
+    for chunk in (1 << 10, 3000, 1 << 15):
+        cfg = TSDFConfig(
+            dims=(64, 64, 64), voxel_size=0.1, sdf_trunc=0.4,
+            origin=(-3.2, -3.2, 0.0), pool_capacity=1 << 15,
+            render_chunk=chunk,
+        )
+        vol = create_volume(cfg)
+        for d in (3.0, 2.4):
+            f, c = flat_wall_frame(d)
+            vol = integrate(vol, cfg, f, c, K, ext)
+        outs.append(np.asarray(
+            render_depth(vol, cfg, K, ext, (H, W), near=1.0, far=5.0)
+        ))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_pipeline_render_chunk_knob_plumbs_through():
+    from sgam_neurips22_tpu.pipeline.scene_generation import (
+        SceneGenConfig,
+        _tsdf_config,
+        _build_grid,
+    )
+
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(3, 3),
+        use_rgbd_integration=True, tsdf_render_chunk=1 << 14,
+    )
+    grid = _build_grid(cfg)
+    tc = _tsdf_config(cfg, grid, (7.0, 16.0))
+    assert tc.render_chunk == 1 << 14
+    assert tc.chunk == 1 << 14
