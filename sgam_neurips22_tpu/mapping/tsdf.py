@@ -427,7 +427,12 @@ def _sample_grid(vol: TSDFVolume, cfg: TSDFConfig, pts: jnp.ndarray, interp: str
         ).astype(jnp.int32)
         inb = jnp.all((g >= 0) & (g < dims), axis=-1)
         gc = jnp.clip(g, 0, dims - 1)
-        v = vol.grid[gc[..., 0], gc[..., 1], gc[..., 2]]
+        # gather through the LINEARIZED grid: the 3-D multi-index gather here
+        # traced at ~17 ns/sample (refine step, NOTES.md) vs the ~9 ns/elem
+        # scalar-gather floor that 1-D index arithmetic achieves elsewhere
+        # (integrate/pool paths); identical values either way
+        lin = (gc[..., 0] * cfg.dims[1] + gc[..., 1]) * cfg.dims[2] + gc[..., 2]
+        v = vol.grid.reshape(-1)[lin]
         return v, inb & (v != 0.0)
     # trilinear over the sum field
     g = (pts - jnp.asarray(cfg.origin)) / cfg.voxel_size - 0.5
@@ -436,13 +441,17 @@ def _sample_grid(vol: TSDFVolume, cfg: TSDFConfig, pts: jnp.ndarray, interp: str
     g0 = g0.astype(jnp.int32)
     vals = 0.0
     obs = jnp.ones(pts.shape[:-1], bool)
+    flat = vol.grid.reshape(-1)  # 1-D gathers: see the nearest path above
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
                 idx = g0 + jnp.asarray([dx, dy, dz])
                 inb = jnp.all((idx >= 0) & (idx < dims), axis=-1)
                 ic = jnp.clip(idx, 0, dims - 1)
-                v = vol.grid[ic[..., 0], ic[..., 1], ic[..., 2]]
+                v = flat[
+                    (ic[..., 0] * cfg.dims[1] + ic[..., 1]) * cfg.dims[2]
+                    + ic[..., 2]
+                ]
                 wgt = (
                     jnp.where(dx, frac[..., 0], 1 - frac[..., 0])
                     * jnp.where(dy, frac[..., 1], 1 - frac[..., 1])
