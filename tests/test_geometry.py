@@ -365,3 +365,63 @@ def test_splat_stride_single_valid_source_fills():
     # depths stay on the surface (dilation copies real neighbor depths)
     d = np.asarray(res.depth)
     assert d.min() >= 7.9 and d.max() <= 12.1
+
+
+def test_inverse_warp_multi_src_matches_per_source_sampling_oracle():
+    """The winner-only gather in inverse_warp_multi_src must reproduce the
+    naive formulation exactly: sample EVERY source (+2 shift, reference
+    inference_pipeline.py:707,:733), occupancy = sum > 0, per-pixel argmin
+    of |warped_src_depth - src_depth| picks the sampled value."""
+    from sgam_neurips22_tpu.geometry.camera import inv3x3
+    from sgam_neurips22_tpu.geometry.warp import inverse_warp_multi_src
+
+    rng = np.random.default_rng(11)
+    b, n, h, w = 2, 3, 24, 24
+    k = np.asarray(make_intrinsics(20.0, 20.0, (w - 1) / 2, (h - 1) / 2))
+    src_imgs = rng.uniform(-1, 1, (b, n, h, w, 3)).astype(np.float32)
+    src_depths = rng.uniform(2.0, 6.0, (b, n, h, w)).astype(np.float32)
+    tgt_depth = rng.uniform(2.0, 6.0, (b, h, w)).astype(np.float32)
+    # a few invalid target depths (map holes)
+    tgt_depth[0, :4, :4] = 0.0
+    tgt2srcs = np.stack(
+        [np.stack([rand_pose(rng) for _ in range(n)]) for _ in range(b)]
+    ).astype(np.float32)
+    ks = np.broadcast_to(k, (b, n, 3, 3)).astype(np.float32)
+
+    got = np.asarray(
+        inverse_warp_multi_src(
+            jnp.asarray(src_imgs), jnp.asarray(src_depths),
+            jnp.asarray(tgt_depth), jnp.asarray(ks), jnp.asarray(k)[None],
+            jnp.asarray(tgt2srcs),
+        )
+    )
+
+    # ---- naive oracle: per-source nearest sampling, then z-buffer merge
+    cam_pts = pixel2cam(jnp.asarray(tgt_depth), inv3x3(jnp.asarray(k)[None]))
+    cam_pts_r = jnp.repeat(cam_pts, n, axis=0).reshape(b, n, h, w, 3)
+    proj = jnp.einsum(
+        "bnij,bnjk->bnik", jnp.asarray(ks), jnp.asarray(tgt2srcs)[..., :3, :]
+    )
+    coords, wsd = cam2pixel(
+        cam_pts_r.reshape(b * n, h, w, 3),
+        proj[..., :3].reshape(b * n, 3, 3),
+        proj[..., 3].reshape(b * n, 3),
+        clamp_z=None,
+    )
+    sampled = np.asarray(
+        grid_sample_nearest(
+            jnp.asarray(src_imgs).reshape(b * n, h, w, 3) + 2.0, coords
+        )
+    ).reshape(b, n, h, w, 3)
+    wsd = np.asarray(wsd).reshape(b, n, h, w)
+    occupied = sampled.sum(axis=-1) > 0.0
+    valid = occupied & (wsd >= 0.0)
+    key = np.where(valid, np.abs(wsd - src_depths), np.inf)
+    winner = key.argmin(axis=1)
+    any_valid = valid.any(axis=1)
+    picked = np.take_along_axis(
+        sampled, winner[:, None, ..., None], axis=1
+    )[:, 0]
+    want = np.where(any_valid[..., None], picked - 2.0, 0.0)
+
+    np.testing.assert_array_equal(got, want)
