@@ -386,12 +386,24 @@ def integrate(
     n_added = jnp.sum(fits.astype(jnp.int32))
     n_dropped = jnp.sum((new & ~fits).astype(jnp.float32))
 
-    # per-render-chunk bbox of the newly pooled voxels (grow-only): two
-    # tiny scatters keep the splat's frustum culling conservative-correct
+    # per-render-chunk bbox of the newly pooled voxels (grow-only), keeping
+    # the splat's frustum culling conservative-correct. New pool slots are
+    # CONSECUTIVE (cumsum allocation), so a frame touches at most
+    # ceil(candidates/chunk)+1 chunks: compute each touched chunk's bbox by
+    # masked REDUCTION and update one 3-elem row per chunk. (The obvious
+    # `chunk_lo.at[ci].min(cand_g)` is an [N,3]-ROW scatter — the measured
+    # ~80 ns/row slow path, ~5 ms/frame at stride 1; see NOTES.md round 2.)
     cand_g = g[..., band - 1, :].reshape(-1, 3)
-    ci = jnp.where(fits, slots // cfg.chunk, cfg.n_chunks)
-    chunk_lo = vol.chunk_lo.at[ci].min(cand_g, mode="drop")
-    chunk_hi = vol.chunk_hi.at[ci].max(cand_g, mode="drop")
+    c0 = vol.pool_count // cfg.chunk
+    ci = slots // cfg.chunk
+    chunk_lo, chunk_hi = vol.chunk_lo, vol.chunk_hi
+    for k in range(-(-cand.shape[0] // cfg.chunk) + 1):
+        m = (fits & (ci == c0 + k))[:, None]
+        lo_k = jnp.where(m, cand_g, 1 << 30).min(axis=0)
+        hi_k = jnp.where(m, cand_g, -1).max(axis=0)
+        # empty mask -> neutral elements; grow-only min/max keeps the row
+        chunk_lo = chunk_lo.at[c0 + k].min(lo_k, mode="drop")
+        chunk_hi = chunk_hi.at[c0 + k].max(hi_k, mode="drop")
 
     return TSDFVolume(
         grid=grid,
