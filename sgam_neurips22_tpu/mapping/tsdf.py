@@ -619,12 +619,15 @@ def _render_depth_splat(
         vals, obs = _sample_grid(vol, cfg, pts, "nearest")
         prev_v, next_v = vals[..., :-1], vals[..., 1:]
         good = (prev_v > 0) & (next_v < 0) & obs[..., :-1] & obs[..., 1:]
-        first = jnp.argmax(good, axis=-1)
-        hit = jnp.any(good, axis=-1)
-        pv = jnp.take_along_axis(prev_v, first[..., None], axis=-1)[..., 0]
-        nv = jnp.take_along_axis(next_v, first[..., None], axis=-1)[..., 0]
+        # only 2 candidate intervals: select beats a take_along_axis gather
+        # (values where neither interval is good are discarded via `hit`)
+        g0 = good[..., 0]
+        hit = g0 | good[..., 1]
+        pv = jnp.where(g0, prev_v[..., 0], prev_v[..., 1])
+        nv = jnp.where(g0, next_v[..., 0], next_v[..., 1])
+        first = jnp.where(g0, 0.0, 1.0)
         frac = pv / jnp.maximum(pv - nv, 1e-12)
-        t_ref = depth + (first.astype(jnp.float32) + frac) * dt
+        t_ref = depth + (first + frac) * dt
         depth = jnp.where(hit & (depth > 0), t_ref, depth)
 
     # hole filling: one pool point per surface crossing leaves coverage gaps
