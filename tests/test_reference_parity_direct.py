@@ -423,3 +423,81 @@ def test_shipped_lpips_lin_heads_convert():
         ref = sd[f"lin{i}.model.1.weight"].numpy().reshape(-1)
         np.testing.assert_allclose(w.reshape(-1), ref, atol=1e-7)
         assert (ref >= 0).all()  # LPIPS heads are non-negative by training
+
+
+def test_inverse_warp_multi_src_matches_torch_composition():
+    """Map-requery conditioning warp vs a torch composition of the
+    reference's inverse_warping (inference_pipeline.py:662-743): per-source
+    F.grid_sample(src+2, nearest, zeros, align_corners=False) on projected
+    coords, then the sequential z-buffer scan keyed on
+    |warped_src_depth - src_depth| with the (sum > 0) occupancy gate.
+    (The reference method itself is cuda-pinned and sits in a module whose
+    import needs pytorch_lightning; its geometry helpers pixel2cam/cam2pixel
+    are parity-tested above, so composing them with torch ops here pins the
+    full path to torch semantics.)"""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    import jax.numpy as jnp
+
+    from sgam_neurips22_tpu.geometry import (
+        cam2pixel,
+        euler2mat,
+        make_intrinsics,
+        pixel2cam,
+        pose_matrix,
+    )
+    from sgam_neurips22_tpu.geometry.camera import inv3x3
+    from sgam_neurips22_tpu.geometry.warp import inverse_warp_multi_src
+
+    rng = np.random.default_rng(23)
+    b, n, h, w = 1, 3, 20, 20
+    k = np.asarray(make_intrinsics(16.0, 16.0, (w - 1) / 2, (h - 1) / 2))
+    src_imgs = rng.uniform(-1, 1, (b, n, h, w, 3)).astype(np.float32)
+    src_depths = rng.uniform(2.0, 6.0, (b, n, h, w)).astype(np.float32)
+    tgt_depth = rng.uniform(2.0, 6.0, (b, h, w)).astype(np.float32)
+    tgt_depth[0, :3, :3] = 0.0  # map holes
+    poses = []
+    for _ in range(n):
+        ang = rng.uniform(-0.25, 0.25, size=(1, 3)).astype(np.float32)
+        r = np.asarray(euler2mat(jnp.asarray(ang)))[0]
+        t = rng.uniform(-0.4, 0.4, size=3).astype(np.float32)
+        poses.append(np.asarray(pose_matrix(jnp.asarray(r)[None], jnp.asarray(t)[None]))[0])
+    tgt2srcs = np.stack(poses)[None].astype(np.float32)
+    ks = np.broadcast_to(k, (b, n, 3, 3)).astype(np.float32)
+
+    got = np.asarray(
+        inverse_warp_multi_src(
+            jnp.asarray(src_imgs), jnp.asarray(src_depths),
+            jnp.asarray(tgt_depth), jnp.asarray(ks), jnp.asarray(k)[None],
+            jnp.asarray(tgt2srcs),
+        )
+    )
+
+    # torch composition (projection via the parity-tested geometry fns)
+    cam_pts = pixel2cam(jnp.asarray(tgt_depth), inv3x3(jnp.asarray(k)[None]))
+    cam_pts_r = jnp.repeat(cam_pts, n, axis=0)
+    proj = np.einsum("bnij,bnjk->bnik", ks, tgt2srcs[..., :3, :])
+    coords, wsd = cam2pixel(
+        cam_pts_r,
+        jnp.asarray(proj[..., :3].reshape(n, 3, 3)),
+        jnp.asarray(proj[..., 3].reshape(n, 3)),
+        clamp_z=None,
+    )
+    sampled = F.grid_sample(
+        torch.from_numpy(src_imgs[0]).permute(0, 3, 1, 2) + 2.0,
+        torch.from_numpy(np.array(coords)),
+        mode="nearest", padding_mode="zeros", align_corners=False,
+    )  # [N, 3, H, W]
+    wsd_t = torch.from_numpy(np.asarray(wsd))  # [N, H, W]
+    src_d = torch.from_numpy(src_depths[0])
+    zbuf = torch.full((h, w), 99999.0)
+    out = torch.zeros(3, h, w)
+    for i in range(n):
+        diff = (wsd_t[i] - src_d[i]).abs()
+        mask = (diff < zbuf) & (wsd_t[i] >= 0) & (sampled[i].sum(0) > 0)
+        zbuf = torch.where(mask, diff, zbuf)
+        out = torch.where(mask[None], sampled[i] - 2.0, out)
+    want = out.permute(1, 2, 0).numpy()[None]
+
+    np.testing.assert_array_equal(got, want)
