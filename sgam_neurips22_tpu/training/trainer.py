@@ -479,7 +479,12 @@ class Trainer:
         else:
             x = x_dst = batch["image"]
             mask = None
-        res = forward(self.state["params"], cfg.model, x, extrapolation_mask=mask)
+        # respect the pre-VQ passthrough gate (reference log_images routes
+        # through encode(), which checks global_step < vq_step_threshold)
+        res = forward(
+            self.state["params"], cfg.model, x, extrapolation_mask=mask,
+            use_vq=self._step_cfg(step).use_vq,
+        )
         panels = {
             "warped_input": np.asarray(x[..., :3]),
             "warped_disparity": np.asarray(x[..., 3:]),
