@@ -267,7 +267,9 @@ def main() -> None:
                         "with per-source phase offsets (1 = reference)")
     p.add_argument("--tsdf_chunk", type=int, default=0,
                    help="map-requery: pool-splat render-chunk granularity "
-                        "(0 = 2^18; finer sharpens pool-count/frustum culls)")
+                        "(0 = library default; finer sharpens pool-count/frustum "
+                        "culls at a per-chunk fixed cost — do not set below "
+                        "the per-frame integrate ray count)")
     p.add_argument("--tsdf_band", type=int, default=0,
                    help="map-requery: fused band half-width in voxels "
                         "(0 = auto from sdf_trunc; the band scatter is the "

@@ -84,7 +84,7 @@ def main(argv=None) -> None:
                    help="map-requery fast mode: fuse every s-th ray "
                         "(near-lossless at s=2: voxel footprints span ~2 px)")
     p.add_argument("--tsdf_render_chunk", type=int, default=0,
-                   help="map-requery pool-splat chunk granularity (0 = 2^18); "
+                   help="map-requery pool-splat chunk granularity (0 = library default); "
                         "finer chunks sharpen the pool-count and frustum "
                         "culls on large-pool scenes (google_earth)")
     p.add_argument("--compute_dtype", default="float32",

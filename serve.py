@@ -85,7 +85,7 @@ def main(argv=None) -> None:
     p.add_argument("--splat_stride", type=int, default=1)
     p.add_argument("--tsdf_integrate_stride", type=int, default=1)
     p.add_argument("--tsdf_render_chunk", type=int, default=0,
-                   help="pool-splat chunk granularity (0 = 2^18)")
+                   help="pool-splat chunk granularity (0 = library default)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"],
                    help="bfloat16 = production serving default (+19%% "

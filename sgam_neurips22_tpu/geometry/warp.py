@@ -24,6 +24,17 @@ def _unnormalize(coord: jnp.ndarray, size: int) -> jnp.ndarray:
     return ((coord + 1.0) * size - 1.0) / 2.0
 
 
+def _nearest_indices(grid: jnp.ndarray, h: int, w: int):
+    """torch grid_sample(nearest, zeros, align_corners=False) index math:
+    (ix, iy, in_bounds) for normalized coords [..., 2]. Single home — the
+    winner-only gather in `inverse_warp_multi_src` relies on computing the
+    EXACT same mask/indices as `grid_sample_nearest`."""
+    ix = jnp.round(_unnormalize(grid[..., 0], w)).astype(jnp.int32)
+    iy = jnp.round(_unnormalize(grid[..., 1], h)).astype(jnp.int32)
+    inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    return ix, iy, inb
+
+
 def grid_sample_nearest(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor grid sample with zero padding.
 
@@ -34,9 +45,7 @@ def grid_sample_nearest(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
       [B, Ho, Wo, C].
     """
     b, h, w, c = img.shape
-    ix = jnp.round(_unnormalize(grid[..., 0], w)).astype(jnp.int32)
-    iy = jnp.round(_unnormalize(grid[..., 1], h)).astype(jnp.int32)
-    inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    ix, iy, inb = _nearest_indices(grid, h, w)
     ixc = jnp.clip(ix, 0, w - 1)
     iyc = jnp.clip(iy, 0, h - 1)
 
@@ -160,11 +169,8 @@ def inverse_warp_multi_src(
     # alone and only the WINNING source's RGB is gathered — one gather per
     # target pixel instead of one per source (the warp gather traced at
     # 2.9 ms/frame with 5 sources; gathers run ~9 ns/elem serial, NOTES.md).
-    ix = jnp.round(_unnormalize(coords[..., 0], w)).astype(jnp.int32)
-    iy = jnp.round(_unnormalize(coords[..., 1], h)).astype(jnp.int32)
-    inb = (
-        (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-    ).reshape(b, n, h, w)
+    ix, iy, inb = _nearest_indices(coords, h, w)
+    inb = inb.reshape(b, n, h, w)
     warped_src_depth = warped_src_depth.reshape(b, n, h, w)
     depth_diff = jnp.abs(
         warped_src_depth - src_depths
@@ -177,14 +183,14 @@ def inverse_warp_multi_src(
     any_valid = jnp.any(valid, axis=1)  # [B, H, W]
     # one fused gather through the linearized [N*H*W] source stack: index
     # (winner, iy, ix); losers' clamped coords are masked by any_valid
-    # (wherever any_valid holds, the winner is in-bounds by construction)
-    ixw = jnp.take_along_axis(
-        jnp.clip(ix, 0, w - 1).reshape(b, n, h, w), winner[:, None], axis=1
-    )[:, 0]
-    iyw = jnp.take_along_axis(
-        jnp.clip(iy, 0, h - 1).reshape(b, n, h, w), winner[:, None], axis=1
-    )[:, 0]
-    lin = (winner * h + iyw) * w + ixw  # [B, H, W]
+    # (wherever any_valid holds, the winner is in-bounds by construction).
+    # Per-source pixel offsets combine elementwise BEFORE the winner gather,
+    # so the coordinates cost one take_along_axis, not two.
+    lin_src = (
+        jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+    ).reshape(b, n, h, w)
+    lin_win = jnp.take_along_axis(lin_src, winner[:, None], axis=1)[:, 0]
+    lin = winner * (h * w) + lin_win  # [B, H, W]
     picked = jax.vmap(lambda im, li: im.reshape(-1, c)[li])(src_imgs, lin)
     # bit-parity with the reference's (img + 2) sample-then-subtract round
     # trip (:707): the +2/-2 costs the values one f32 ULP, and the parity

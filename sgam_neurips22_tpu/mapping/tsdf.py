@@ -189,7 +189,7 @@ def auto_config(
     pool_capacity: Optional[int] = None,
     band_voxels: Optional[int] = None,
     integrate_stride: int = 1,
-    render_chunk: int = 1 << 18,
+    render_chunk: Optional[int] = None,  # None = TSDFConfig default
     verbose: bool = True,
 ) -> TSDFConfig:
     """Size/place the volume from the trajectory ∪ viewing-frustum hull.
@@ -258,6 +258,7 @@ def auto_config(
         pool_capacity = int(
             np.clip(6 * max(faces), 1 << 16, 4 * MAX_POOL_CAPACITY)
         )
+    extra = {} if render_chunk is None else {"render_chunk": render_chunk}
     return TSDFConfig(
         dims=tuple(int(d) for d in dims),
         voxel_size=vox,
@@ -266,7 +267,7 @@ def auto_config(
         band_voxels=band_voxels,
         pool_capacity=pool_capacity,
         integrate_stride=integrate_stride,
-        render_chunk=render_chunk,
+        **extra,
     )
 
 
@@ -394,16 +395,28 @@ def integrate(
     # `chunk_lo.at[ci].min(cand_g)` is an [N,3]-ROW scatter — the measured
     # ~80 ns/row slow path, ~5 ms/frame at stride 1; see NOTES.md round 2.)
     cand_g = g[..., band - 1, :].reshape(-1, 3)
+    m = fits[:, None]
+    frame_lo = jnp.where(m, cand_g, 1 << 30).min(axis=0)  # [3]
+    frame_hi = jnp.where(m, cand_g, -1).max(axis=0)
     c0 = vol.pool_count // cfg.chunk
-    ci = slots // cfg.chunk
+    end = vol.pool_count + n_added
     chunk_lo, chunk_hi = vol.chunk_lo, vol.chunk_hi
     for k in range(-(-cand.shape[0] // cfg.chunk) + 1):
-        m = (fits & (ci == c0 + k))[:, None]
-        lo_k = jnp.where(m, cand_g, 1 << 30).min(axis=0)
-        hi_k = jnp.where(m, cand_g, -1).max(axis=0)
-        # empty mask -> neutral elements; grow-only min/max keeps the row
-        chunk_lo = chunk_lo.at[c0 + k].min(lo_k, mode="drop")
-        chunk_hi = chunk_hi.at[c0 + k].max(hi_k, mode="drop")
+        c = c0 + k
+        # did chunk c receive entries this frame? New slots are the
+        # CONSECUTIVE range [pool_count, end), so this is a scalar interval
+        # intersection — each touched chunk takes the frame-wide bbox
+        # (conservative superset; per-chunk bboxes would need a full-width
+        # masked reduction PER candidate chunk, O(candidates^2/chunk) as
+        # render_chunk shrinks). Untouched chunks get neutral elements,
+        # which the grow-only min/max ignores.
+        has = (end > c * cfg.chunk) & (vol.pool_count < (c + 1) * cfg.chunk)
+        chunk_lo = chunk_lo.at[c].min(
+            jnp.where(has, frame_lo, 1 << 30), mode="drop"
+        )
+        chunk_hi = chunk_hi.at[c].max(
+            jnp.where(has, frame_hi, -1), mode="drop"
+        )
 
     return TSDFVolume(
         grid=grid,

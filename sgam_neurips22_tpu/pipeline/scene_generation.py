@@ -107,7 +107,8 @@ class SceneGenConfig:
     # the splat renderer's sub-voxel refinement only needs the field one
     # voxel around the crossing (tests pin band-4 vs band-8 render parity)
     tsdf_band_voxels: Optional[int] = None
-    # pool-splat render-chunk granularity (None = 2^18). Chunks beyond
+    # pool-splat render-chunk granularity (None = TSDFConfig default).
+    # Chunks beyond
     # pool_count or outside the target frustum are cond-skipped, so a finer
     # chunk sharpens both culls at a small per-chunk fixed cost; tune for
     # large-pool scenes (google_earth's 0.01 m voxels -> multi-chunk pools)
@@ -186,7 +187,8 @@ def _tsdf_config(
             pool_capacity=cfg.tsdf_pool_capacity or (1 << 19),
             integrate_stride=cfg.tsdf_integrate_stride,
             band_voxels=cfg.tsdf_band_voxels,
-            render_chunk=cfg.tsdf_render_chunk or (1 << 18),
+            **({} if cfg.tsdf_render_chunk is None
+               else {"render_chunk": cfg.tsdf_render_chunk}),
         )
     # auto: contain the full trajectory ∪ viewing-frustum hull (the
     # reference's ScalableTSDFVolume is unbounded, inference_pipeline.py:122)
@@ -202,7 +204,7 @@ def _tsdf_config(
         pool_capacity=cfg.tsdf_pool_capacity,
         integrate_stride=cfg.tsdf_integrate_stride,
         band_voxels=cfg.tsdf_band_voxels,
-        render_chunk=cfg.tsdf_render_chunk or (1 << 18),
+        render_chunk=cfg.tsdf_render_chunk,
     )
 
 
