@@ -124,8 +124,23 @@ class SceneGenConfig:
 
     def __post_init__(self):
         s = int(self.splat_stride)
+        h, w = self.image_resolution
+        if self.collision == "nearest" and not self.use_rgbd_integration:
+            # the packed z-buffer key holds 19 bits of point index
+            # (geometry/splat.py); fail at CONFIG time with guidance, not at
+            # trace time deep inside the jitted unroll (cf. the TSDF ray
+            # budget check in _tsdf_config). Map-requery conditioning never
+            # splats (inverse warp instead), so it is exempt.
+            pts = self.effective_num_src * (h // s) * (w // s)
+            if pts >= (1 << 19):
+                raise ValueError(
+                    f"splat conditioning at {h}x{w} with "
+                    f"{self.effective_num_src} sources and splat_stride={s} "
+                    f"produces {pts} points/frame, over the packed z-buffer's "
+                    f"2^19 point capacity; raise splat_stride or set "
+                    f"collision='nearest_exact' (unpacked, ~3x slower scatter)"
+                )
         if s > 1:
-            h, w = self.image_resolution
             if s >= min(h, w):
                 raise ValueError(f"splat_stride {s} >= image size {min(h, w)}")
             n = self.effective_num_src

@@ -281,3 +281,32 @@ def test_intrinsics_scale_with_resolution():
                        image_resolution=(64, 64))
     )
     np.testing.assert_allclose(grid.K, k64)
+
+
+def test_packed_splat_point_budget_validated_at_config_time():
+    """512^2 x 5 sources overflows the packed z-buffer's 19-bit point index;
+    the config must fail with guidance instead of deep inside the jitted
+    unroll (mirrors the TSDF ray-budget check)."""
+    with pytest.raises(ValueError, match="2\\^19 point capacity"):
+        SceneGenConfig(
+            dataset="clevr-infinite", output_dim=(2, 2),
+            image_resolution=(512, 512),
+        )
+    # unpacked scatter and strided splat both fit
+    SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2),
+        image_resolution=(512, 512), collision="nearest_exact",
+    )
+    SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2),
+        image_resolution=(512, 512), splat_stride=2,
+    )
+
+
+def test_point_budget_exempts_map_requery():
+    # map-requery conditioning inverse-warps (no splat); 512^2 with the
+    # required tsdf stride must configure fine
+    SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2),
+        image_resolution=(512, 512), use_rgbd_integration=True,
+    )
