@@ -6,7 +6,7 @@
 // host-side batch work, so it lives in native code for speed.
 //
 // Marching tetrahedra instead of marching cubes: each cell splits into six
-// tetrahedra sharing the 0-6 diagonal; per-tet surface extraction has only
+// tetrahedra sharing the 0-7 diagonal; per-tet surface extraction has only
 // 16 sign cases, all derivable in code (no lookup tables). Output is a
 // triangle soup (3 interpolated vertices + per-vertex colors per triangle).
 //
