@@ -477,3 +477,35 @@ def test_pipeline_render_chunk_knob_plumbs_through():
     tc = _tsdf_config(cfg, grid, (7.0, 16.0))
     assert tc.render_chunk == 1 << 14
     assert tc.chunk == 1 << 14
+
+
+def test_chunk_bboxes_contain_their_pool_entries():
+    """Frustum-culling correctness rests on this invariant: every pooled
+    voxel's coordinates lie inside its render chunk's bbox, whatever the
+    chunk size and however frames straddle chunk boundaries."""
+    rng = np.random.default_rng(31)
+    cfg = TSDFConfig(
+        dims=(64, 64, 64), voxel_size=0.1, sdf_trunc=0.4,
+        origin=(-3.2, -3.2, 0.0), pool_capacity=1 << 12, render_chunk=900,
+    )
+    vol = create_volume(cfg)
+    for i in range(6):
+        depth = jnp.asarray(
+            rng.uniform(2.0, 4.5, (H, W)).astype(np.float32)
+        )
+        rgb = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+        vol = integrate(vol, cfg, depth, rgb, K, jnp.eye(4))
+    n = int(vol.pool_count)
+    assert n > cfg.chunk, "test must span multiple chunks"
+    ids = np.asarray(vol.pool_ids)[:n]
+    x, y, z = cfg.dims
+    vx = ids // (y * z)
+    vy = (ids // z) % y
+    vz = ids % z
+    g = np.stack([vx, vy, vz], axis=-1)
+    lo = np.asarray(vol.chunk_lo)
+    hi = np.asarray(vol.chunk_hi)
+    for ci in range(-(-n // cfg.chunk)):
+        sl = g[ci * cfg.chunk : min((ci + 1) * cfg.chunk, n)]
+        assert (sl >= lo[ci]).all(), f"chunk {ci} bbox lo violated"
+        assert (sl <= hi[ci]).all(), f"chunk {ci} bbox hi violated"
