@@ -76,8 +76,11 @@ def main() -> None:
         "n_frames": len(psnrs),
     }
     if vis_psnrs:
-        out["psnr_visible"] = float(np.mean(vis_psnrs))
-        out["ssim_visible"] = float(np.mean(vis_ssims))
+        # nanmean: fully-extrapolated frames (empty masks) score NaN and
+        # must not poison the aggregate
+        out["psnr_visible"] = float(np.nanmean(vis_psnrs))
+        out["ssim_visible"] = float(np.nanmean(vis_ssims))
+        out["n_frames_visible"] = int(np.sum(~np.isnan(vis_psnrs)))
 
     if args.fid:
         import pickle

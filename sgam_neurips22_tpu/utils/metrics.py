@@ -29,8 +29,13 @@ def psnr(
     full = _db(mse)
     if visibility_mask is None:
         return full
+    n_vis = visibility_mask.sum()
+    if n_vis == 0:
+        # fully-extrapolated frame: no visible pixels to score. NaN (not a
+        # perfect +inf) so aggregators can nanmean/skip it.
+        return full, float("nan")
     diff2 = (img1.astype(np.float64) - img2.astype(np.float64)) ** 2
-    vis = (diff2 * visibility_mask).sum() / visibility_mask.sum()
+    vis = (diff2 * visibility_mask).sum() / n_vis
     return full, _db(vis)
 
 
@@ -75,7 +80,10 @@ def _ssim_single(
     )
     if visibility_mask is not None:
         vm = visibility_mask[5:-5, 5:-5]
-        return float(ssim_map.mean()), float((ssim_map * vm).sum() / vm.sum())
+        n_vis = vm.sum()
+        if n_vis == 0:  # no visible pixels: NaN, see psnr()
+            return float(ssim_map.mean()), float("nan")
+        return float(ssim_map.mean()), float((ssim_map * vm).sum() / n_vis)
     return float(ssim_map.mean())
 
 

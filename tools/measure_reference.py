@@ -53,8 +53,14 @@ def main() -> None:
         VectorQuantizer2,
     )
 
+    # resolution=64 verbatim from the reference configs (configs/
+    # conditional_generation/clevr-infinite.yaml:22) — taming tracks
+    # attention against THIS value, not the input size: attn_resolutions
+    # [16] fires after 2 downsamples, i.e. at ACTUAL 64x64 (4096 tokens)
+    # for 256^2 inputs. Building with resolution=image_size would place
+    # the attention at 16x16 and benchmark a much cheaper architecture.
     dd = dict(
-        double_z=False, z_channels=256, resolution=args.image_size,
+        double_z=False, z_channels=256, resolution=64,
         in_channels=4, out_ch=4, ch=128, ch_mult=[1, 1, 2, 2, 4],
         num_res_blocks=2, attn_resolutions=[16], dropout=0.0,
     )
