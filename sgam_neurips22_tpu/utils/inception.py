@@ -77,13 +77,17 @@ def _max_pool(x, k=3, s=2, pad=0):
     )
 
 
-def _avg_pool_nocount(x, k=3, s=1, pad=1):
-    """avg_pool2d(count_include_pad=False) — the pytorch-fid variant."""
-    ones = jnp.ones_like(x[..., :1])
+def _avg_pool(x, k=3, s=1, pad=1, nocount=True):
+    """avg_pool2d. nocount=True is torch count_include_pad=False (the
+    pytorch-fid InceptionA/C/E_1 override); nocount=False divides by k*k
+    like torchvision's default (count_include_pad=True)."""
     summed = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, k, k, 1), (1, s, s, 1),
         ((0, 0), (pad, pad), (pad, pad), (0, 0)),
     )
+    if not nocount:
+        return summed / (k * k)
+    ones = jnp.ones_like(x[..., :1])
     counts = jax.lax.reduce_window(
         ones, 0.0, jax.lax.add, (1, k, k, 1), (1, s, s, 1),
         ((0, 0), (pad, pad), (pad, pad), (0, 0)),
@@ -91,14 +95,14 @@ def _avg_pool_nocount(x, k=3, s=1, pad=1):
     return summed / counts
 
 
-def _inception_a(store, name, x, pool_features):
+def _inception_a(store, name, x, pool_features, fid=True):
     b1 = _basic_conv(store, f"{name}.branch1x1", x, 64, 1)
     b5 = _basic_conv(store, f"{name}.branch5x5_1", x, 48, 1)
     b5 = _basic_conv(store, f"{name}.branch5x5_2", b5, 64, 5, padding=(2, 2))
     b3 = _basic_conv(store, f"{name}.branch3x3dbl_1", x, 64, 1)
     b3 = _basic_conv(store, f"{name}.branch3x3dbl_2", b3, 96, 3, padding=(1, 1))
     b3 = _basic_conv(store, f"{name}.branch3x3dbl_3", b3, 96, 3, padding=(1, 1))
-    bp = _avg_pool_nocount(x)
+    bp = _avg_pool(x, nocount=fid)
     bp = _basic_conv(store, f"{name}.branch_pool", bp, pool_features, 1)
     return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -112,7 +116,7 @@ def _inception_b(store, name, x):
     return jnp.concatenate([b3, bd, bp], axis=-1)
 
 
-def _inception_c(store, name, x, c7):
+def _inception_c(store, name, x, c7, fid=True):
     b1 = _basic_conv(store, f"{name}.branch1x1", x, 192, 1)
     b7 = _basic_conv(store, f"{name}.branch7x7_1", x, c7, 1)
     b7 = _basic_conv(store, f"{name}.branch7x7_2", b7, c7, (1, 7), padding=(0, 3))
@@ -122,7 +126,7 @@ def _inception_c(store, name, x, c7):
     bd = _basic_conv(store, f"{name}.branch7x7dbl_3", bd, c7, (1, 7), padding=(0, 3))
     bd = _basic_conv(store, f"{name}.branch7x7dbl_4", bd, c7, (7, 1), padding=(3, 0))
     bd = _basic_conv(store, f"{name}.branch7x7dbl_5", bd, 192, (1, 7), padding=(0, 3))
-    bp = _avg_pool_nocount(x)
+    bp = _avg_pool(x, nocount=fid)
     bp = _basic_conv(store, f"{name}.branch_pool", bp, 192, 1)
     return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -138,7 +142,7 @@ def _inception_d(store, name, x):
     return jnp.concatenate([b3, b7, bp], axis=-1)
 
 
-def _inception_e(store, name, x, pool_mode="avg"):
+def _inception_e(store, name, x, pool_mode="avg", fid=True):
     b1 = _basic_conv(store, f"{name}.branch1x1", x, 320, 1)
     b3 = _basic_conv(store, f"{name}.branch3x3_1", x, 384, 1)
     b3 = jnp.concatenate(
@@ -160,7 +164,7 @@ def _inception_e(store, name, x, pool_mode="avg"):
     if pool_mode == "max":  # FIDInceptionE_2 (Mixed_7c)
         bp = _max_pool(x, k=3, s=1, pad=1)
     else:
-        bp = _avg_pool_nocount(x)
+        bp = _avg_pool(x, nocount=fid)
     bp = _basic_conv(store, f"{name}.branch_pool", bp, 192, 1)
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -182,17 +186,23 @@ def inception_v3_features(
     h = _basic_conv(store, "Conv2d_3b_1x1", h, 80, 1)
     h = _basic_conv(store, "Conv2d_4a_3x3", h, 192, 3)
     h = _max_pool(h)
-    h = _inception_a(store, "Mixed_5b", h, 32)
-    h = _inception_a(store, "Mixed_5c", h, 64)
-    h = _inception_a(store, "Mixed_5d", h, 64)
+    # fid_variant toggles ALL of pytorch-fid's pooling overrides:
+    # InceptionA/C and Mixed_7b use count_include_pad=False avg-pools,
+    # Mixed_7c swaps its branch pool to max. fid_variant=False is plain
+    # torchvision inception_v3 (count_include_pad=True, avg at 7c).
+    h = _inception_a(store, "Mixed_5b", h, 32, fid=fid_variant)
+    h = _inception_a(store, "Mixed_5c", h, 64, fid=fid_variant)
+    h = _inception_a(store, "Mixed_5d", h, 64, fid=fid_variant)
     h = _inception_b(store, "Mixed_6a", h)
-    h = _inception_c(store, "Mixed_6b", h, 128)
-    h = _inception_c(store, "Mixed_6c", h, 160)
-    h = _inception_c(store, "Mixed_6d", h, 160)
-    h = _inception_c(store, "Mixed_6e", h, 192)
+    h = _inception_c(store, "Mixed_6b", h, 128, fid=fid_variant)
+    h = _inception_c(store, "Mixed_6c", h, 160, fid=fid_variant)
+    h = _inception_c(store, "Mixed_6d", h, 160, fid=fid_variant)
+    h = _inception_c(store, "Mixed_6e", h, 192, fid=fid_variant)
     h = _inception_d(store, "Mixed_7a", h)
-    h = _inception_e(store, "Mixed_7b", h)
-    h = _inception_e(store, "Mixed_7c", h, pool_mode="max" if fid_variant else "avg")
+    h = _inception_e(store, "Mixed_7b", h, fid=fid_variant)
+    h = _inception_e(store, "Mixed_7c", h,
+                     pool_mode="max" if fid_variant else "avg",
+                     fid=fid_variant)
     feats = jnp.mean(h, axis=(1, 2))
     if store.init_mode:
         return feats, store.params

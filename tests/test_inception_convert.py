@@ -23,8 +23,12 @@ from sgam_neurips22_tpu.utils.inception import (
 
 
 class Oracle:
-    def __init__(self, seed=0):
+    def __init__(self, seed=0, fid=True):
+        # fid=True mirrors pytorch-fid's overrides (count_include_pad=False
+        # avg-pools in A/C/7b, max pool at 7c); fid=False is plain
+        # torchvision inception_v3 pooling
         self.g = torch.Generator().manual_seed(seed)
+        self.fid = fid
         self.sd = {}
 
     def basic(self, name, x, cout, kernel, stride=1, padding=(0, 0)):
@@ -52,7 +56,7 @@ class Oracle:
         b3 = self.basic(f"{name}.branch3x3dbl_1", x, 64, 1)
         b3 = self.basic(f"{name}.branch3x3dbl_2", b3, 96, 3, padding=(1, 1))
         b3 = self.basic(f"{name}.branch3x3dbl_3", b3, 96, 3, padding=(1, 1))
-        bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+        bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=not self.fid)
         bp = self.basic(f"{name}.branch_pool", bp, pool_features, 1)
         return torch.cat([b1, b5, b3, bp], 1)
 
@@ -73,7 +77,7 @@ class Oracle:
         bd = self.basic(f"{name}.branch7x7dbl_3", bd, c7, (1, 7), padding=(0, 3))
         bd = self.basic(f"{name}.branch7x7dbl_4", bd, c7, (7, 1), padding=(3, 0))
         bd = self.basic(f"{name}.branch7x7dbl_5", bd, 192, (1, 7), padding=(0, 3))
-        bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+        bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=not self.fid)
         bp = self.basic(f"{name}.branch_pool", bp, 192, 1)
         return torch.cat([b1, b7, bd, bp], 1)
 
@@ -106,7 +110,7 @@ class Oracle:
         if pool_mode == "max":
             bp = F.max_pool2d(x, 3, 1, 1)
         else:
-            bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+            bp = F.avg_pool2d(x, 3, 1, 1, count_include_pad=not self.fid)
         bp = self.basic(f"{name}.branch_pool", bp, 192, 1)
         return torch.cat([b1, b3, bd, bp], 1)
 
@@ -128,7 +132,8 @@ class Oracle:
         h = self.incept_c("Mixed_6e", h, 192)
         h = self.incept_d("Mixed_7a", h)
         h = self.incept_e("Mixed_7b", h)
-        h = self.incept_e("Mixed_7c", h, pool_mode="max")  # FIDInceptionE_2
+        # FIDInceptionE_2 max-pools at 7c; torchvision avg-pools
+        h = self.incept_e("Mixed_7c", h, pool_mode="max" if self.fid else "avg")
         return h.mean(dim=(2, 3))
 
 
@@ -143,4 +148,21 @@ def test_converted_inception_matches_torch_oracle():
         inception_v3_features(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
     )
     assert got.shape == (1, 2048)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-4)
+
+
+def test_converted_inception_matches_torchvision_pooling_oracle():
+    """fid_variant=False must reproduce plain torchvision inception_v3
+    pooling (count_include_pad=True everywhere, avg at Mixed_7c)."""
+    oracle = Oracle(seed=1, fid=False)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (1, 3, 299, 299)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle.forward(torch.from_numpy(x)).numpy()
+    params = convert_torch_inception(oracle.sd)
+    got = np.asarray(
+        inception_v3_features(
+            params, jnp.asarray(x.transpose(0, 2, 3, 1)), fid_variant=False
+        )
+    )
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=2e-4)
