@@ -92,7 +92,13 @@ def main() -> None:
     cam = bpy.context.object
     scene.camera = cam
     cam.data.angle = 2 * math.atan(args.resolution / (2 * 355.5555 * args.resolution / 256))
-    pitch = math.radians(107.2)  # ~17.2 deg down from horizontal, matching start pose
+    # 0.3 rad about X, verbatim from the reference's camera_add
+    # (blender_data_generation_grid.py:168). Blender cameras look along -Z
+    # at rotation (0,0,0), so 0.3 rad = 17.2 deg OFF NADIR (near-straight
+    # down at z=12 over the object field). NOT measured from horizontal:
+    # radians(107.2) would point the camera 17.2 deg ABOVE the horizon and
+    # render empty sky in every frame.
+    pitch = 0.3
 
     frames = []
     for i in range(args.grid):
