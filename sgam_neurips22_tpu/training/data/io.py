@@ -15,14 +15,23 @@ import numpy as np
 from PIL import Image
 
 
-def load_rgb(path: str, resolution: tuple | None = None) -> np.ndarray:
-    """[-1, 1] float32 RGB, LANCZOS-resized."""
+def load_rgb_u8(path: str, resolution: tuple | None = None) -> np.ndarray:
+    """Decoded uint8 pixels before scaling (single home for the decode +
+    convert + LANCZOS pipeline: tools/pack_dataset.py stores exactly these
+    bytes so packed shards stay bit-identical to the live PNG path)."""
     img = Image.open(path)
     if img.mode != "RGB":
         img = img.convert("RGB")
     if resolution is not None and img.size != (resolution[1], resolution[0]):
         img = img.resize((resolution[1], resolution[0]), resample=Image.LANCZOS)
-    return (np.asarray(img, np.float32) / 127.5 - 1.0).astype(np.float32)
+    return np.asarray(img, np.uint8)
+
+
+def load_rgb(path: str, resolution: tuple | None = None) -> np.ndarray:
+    """[-1, 1] float32 RGB, LANCZOS-resized."""
+    return (load_rgb_u8(path, resolution).astype(np.float32) / 127.5 - 1.0).astype(
+        np.float32
+    )
 
 
 def resize_nearest(x: np.ndarray, h_out: int, w_out: int) -> np.ndarray:

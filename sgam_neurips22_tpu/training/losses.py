@@ -82,10 +82,10 @@ def _nll(x_dst: jnp.ndarray, xrec: jnp.ndarray, lpips_params, cfg: LossConfig):
     rec = jnp.abs(x_dst - xrec)
     if cfg.perceptual_weight > 0 and lpips_params is not None:
         p = lpips(lpips_params, x_dst[..., :3], xrec[..., :3])  # [B,1,1,1]
+        # the logged rec_loss IS nll: the reference logs it AFTER adding
+        # the perceptual term (:83)
         nll = jnp.mean(rec + cfg.perceptual_weight * p)
-        # reference logs rec_loss AFTER adding the perceptual term (:83)
-        rec_log = jnp.mean(rec + cfg.perceptual_weight * p)
-        return nll, rec_log, jnp.mean(p)
+        return nll, nll, jnp.mean(p)
     nll = jnp.mean(rec)
     return nll, nll, jnp.zeros((), rec.dtype)
 

@@ -21,17 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 
 import numpy as np
-from PIL import Image
 
 
-def load_rgb_u8(path: str, resolution) -> np.ndarray:
-    """The uint8 pixels io.load_rgb would scale (same decode + LANCZOS)."""
-    img = Image.open(path)
-    if img.mode != "RGB":
-        img = img.convert("RGB")
-    if resolution is not None and img.size != (resolution[1], resolution[0]):
-        img = img.resize((resolution[1], resolution[0]), resample=Image.LANCZOS)
-    return np.asarray(img, np.uint8)
+# bit-identity with the live PNG loader is BY CONSTRUCTION: the packer
+# stores the exact uint8 stage io.load_rgb scales
+from sgam_neurips22_tpu.training.data.io import load_rgb_u8  # noqa: E402
 
 
 def pack_split(ds, out_path: str, use_depth: bool) -> None:
