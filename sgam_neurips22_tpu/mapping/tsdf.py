@@ -87,6 +87,13 @@ class TSDFConfig:
     # surface-voxel pool slots; pools beyond 2^20 render in chunks of 2^20
     # (splat cost is linear in capacity either way)
     pool_capacity: int = 1 << 19
+    # full-pool policy: True (default) recycles the OLDEST slots ring-buffer
+    # style — the newest observed surface always enters the map, matching
+    # the reference's unbounded ScalableTSDFVolume semantics
+    # (inference_pipeline.py:122-131) under a bounded memory budget. False
+    # reverts to drop-new (round-2 behavior: a full pool stops updating).
+    # Either way the event is counted in `stats`, never silent.
+    pool_recycle: bool = True
     # integrate every s-th ray (1 = all pixels, the reference behavior); the
     # band scatter is the fusion cost and scales 1/s^2 — see integrate()
     integrate_stride: int = 1
@@ -135,8 +142,9 @@ class TSDFVolume:
     grid: jnp.ndarray  # [X, Y, Z] f32 signed tsdf-contribution sums
     flags: jnp.ndarray  # [X*Y*Z] uint8: 1 if the voxel is in the surface pool
     pool_ids: jnp.ndarray  # [P] int32 linear voxel ids (surface voxels)
-    pool_count: jnp.ndarray  # [] int32
-    stats: jnp.ndarray  # [3] f32: (valid depth samples, fused samples, pool drops)
+    pool_count: jnp.ndarray  # [] int32 LIFETIME slots booked (ring position when
+    # recycling; live slots = min(pool_count, capacity))
+    stats: jnp.ndarray  # [4] f32: (valid samples, fused samples, pool drops, pool recycles)
     # persistent in-frame dedup grid: each integrate() writes generation-keyed
     # entries (frame << pos_bits | reversed pixel pos) via ONE scatter-max, so
     # no per-frame O(volume) memset is needed (a fresh 30M-int32 claim grid
@@ -170,7 +178,7 @@ def create_volume(cfg: TSDFConfig) -> TSDFVolume:
         flags=jnp.zeros(x * y * z, jnp.uint8),
         pool_ids=jnp.zeros(cfg.pool_capacity, jnp.int32),
         pool_count=jnp.zeros((), jnp.int32),
-        stats=jnp.zeros(3, jnp.float32),
+        stats=jnp.zeros(4, jnp.float32),
         frame=jnp.zeros((), jnp.int32),
         claim=jnp.zeros(x * y * z, jnp.int32),
         chunk_lo=jnp.full((cfg.n_chunks, 3), 1 << 30, jnp.int32),
@@ -190,6 +198,7 @@ def auto_config(
     band_voxels: Optional[int] = None,
     integrate_stride: int = 1,
     render_chunk: Optional[int] = None,  # None = TSDFConfig default
+    pool_recycle: bool = True,
     verbose: bool = True,
 ) -> TSDFConfig:
     """Size/place the volume from the trajectory ∪ viewing-frustum hull.
@@ -267,6 +276,7 @@ def auto_config(
         band_voxels=band_voxels,
         pool_capacity=pool_capacity,
         integrate_stride=integrate_stride,
+        pool_recycle=pool_recycle,
         **extra,
     )
 
@@ -378,12 +388,32 @@ def integrate(
     claim = vol.claim.at[cand].max(jnp.where(cand_ok, own, 0))
     first = cand_ok & (claim[cand] == own)
     new = first & (vol.flags[cand] == 0)
-    slots = vol.pool_count + jnp.cumsum(new.astype(jnp.int32)) - 1
-    fits = new & (slots < cfg.pool_capacity)
-    pool_ids = vol.pool_ids.at[jnp.where(fits, slots, cfg.pool_capacity)].set(
-        cand, mode="drop"
-    )
-    flags = vol.flags.at[cand].max(fits.astype(jnp.uint8))
+    slots = vol.pool_count + jnp.cumsum(new.astype(jnp.int32)) - 1  # lifetime
+    # one frame can book at most `capacity` slots (an in-frame ring wrap
+    # would double-book a slot inside a single scatter); excess is
+    # dropped and counted either way.
+    fits = new & (slots < vol.pool_count + cfg.pool_capacity)
+    if cfg.pool_recycle:
+        # full pool: recycle the OLDEST slots (ring buffer) so the newest
+        # observed surface always enters the map — bounded-memory parity
+        # with the reference's unbounded ScalableTSDFVolume. Evict the
+        # current occupants of reused slots (clear their dedup flag) so the
+        # evicted voxels can re-enter when next observed. Evicted ids are
+        # disjoint from this frame's additions (fits requires flags == 0;
+        # occupants have flags == 1), so the two flag updates commute.
+        slot = jnp.where(fits, slots % cfg.pool_capacity, cfg.pool_capacity)
+        reused = fits & (slots >= cfg.pool_capacity)
+        oob = vol.flags.shape[0]  # definitely-dropped scatter index
+        evict = jnp.where(reused, vol.pool_ids[slot], oob)
+        flags0 = vol.flags.at[evict].set(0, mode="drop")
+        n_recycled = jnp.sum(reused.astype(jnp.float32))
+    else:
+        fits = fits & (slots < cfg.pool_capacity)
+        slot = jnp.where(fits, slots, cfg.pool_capacity)
+        flags0 = vol.flags
+        n_recycled = jnp.float32(0.0)
+    pool_ids = vol.pool_ids.at[slot].set(cand, mode="drop")
+    flags = flags0.at[cand].max(fits.astype(jnp.uint8))
     n_added = jnp.sum(fits.astype(jnp.int32))
     n_dropped = jnp.sum((new & ~fits).astype(jnp.float32))
 
@@ -398,11 +428,19 @@ def integrate(
     m = fits[:, None]
     frame_lo = jnp.where(m, cand_g, 1 << 30).min(axis=0)  # [3]
     frame_hi = jnp.where(m, cand_g, -1).max(axis=0)
-    c0 = vol.pool_count // cfg.chunk
-    end = vol.pool_count + n_added
+    # slot positions are ring positions when recycling (bboxes stay grow-only
+    # supersets of their chunk's occupants — conservative, so the cull is
+    # still correct after a wrap, just less effective)
+    start = (
+        vol.pool_count % cfg.pool_capacity if cfg.pool_recycle
+        else vol.pool_count
+    )
+    c0 = start // cfg.chunk
+    end = start + n_added
     chunk_lo, chunk_hi = vol.chunk_lo, vol.chunk_hi
     for k in range(-(-cand.shape[0] // cfg.chunk) + 1):
-        c = c0 + k
+        c_abs = c0 + k
+        c = c_abs % cfg.n_chunks if cfg.pool_recycle else c_abs
         # did chunk c receive entries this frame? New slots are the
         # CONSECUTIVE range [pool_count, end), so this is a scalar interval
         # intersection — each touched chunk takes the frame-wide bbox
@@ -410,7 +448,7 @@ def integrate(
         # masked reduction PER candidate chunk, O(candidates^2/chunk) as
         # render_chunk shrinks). Untouched chunks get neutral elements,
         # which the grow-only min/max ignores.
-        has = (end > c * cfg.chunk) & (vol.pool_count < (c + 1) * cfg.chunk)
+        has = (end > c_abs * cfg.chunk) & (start < (c_abs + 1) * cfg.chunk)
         chunk_lo = chunk_lo.at[c].min(
             jnp.where(has, frame_lo, 1 << 30), mode="drop"
         )
@@ -423,7 +461,7 @@ def integrate(
         flags=flags,
         pool_ids=pool_ids,
         pool_count=vol.pool_count + n_added,
-        stats=vol.stats + jnp.stack([n_valid, n_fused, n_dropped]),
+        stats=vol.stats + jnp.stack([n_valid, n_fused, n_dropped, n_recycled]),
         frame=vol.frame + 1,
         claim=claim,
         chunk_lo=chunk_lo,
@@ -431,12 +469,12 @@ def integrate(
     )
 
 
-def fusion_fraction(vol: TSDFVolume) -> Tuple[float, float, float]:
-    """(fused/valid fraction, valid samples, pool drops) — host helper for
-    the silent-truncation telemetry."""
+def fusion_fraction(vol: TSDFVolume) -> Tuple[float, float, float, float]:
+    """(fused/valid fraction, valid samples, pool drops, pool recycles) —
+    host helper for the silent-truncation telemetry."""
     s = np.asarray(vol.stats)
     frac = float(s[1] / s[0]) if s[0] > 0 else 1.0
-    return frac, float(s[0]), float(s[2])
+    return frac, float(s[0]), float(s[2]), float(s[3])
 
 
 # --------------------------------------------------------------------------

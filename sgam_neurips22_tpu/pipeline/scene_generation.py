@@ -98,6 +98,10 @@ class SceneGenConfig:
     tsdf_origin: Optional[Tuple[float, float, float]] = None
     tsdf_mem_cap_gb: float = 6.0
     tsdf_pool_capacity: Optional[int] = None  # None = auto from volume size
+    # full-pool policy: recycle oldest surface slots (ring buffer; the
+    # reference's unbounded-volume semantics under a memory bound) vs
+    # drop-new — see mapping.tsdf.TSDFConfig.pool_recycle
+    tsdf_pool_recycle: bool = True
     # fuse every s-th ray into the map (1 = reference behavior; the band
     # scatter cost scales 1/s^2 — see mapping.tsdf.integrate)
     tsdf_integrate_stride: int = 1
@@ -200,6 +204,7 @@ def _tsdf_config(
             sdf_trunc=base["sdf_trunc"],
             origin=origin,
             pool_capacity=cfg.tsdf_pool_capacity or (1 << 19),
+            pool_recycle=cfg.tsdf_pool_recycle,
             integrate_stride=cfg.tsdf_integrate_stride,
             band_voxels=cfg.tsdf_band_voxels,
             **({} if cfg.tsdf_render_chunk is None
@@ -220,6 +225,7 @@ def _tsdf_config(
         integrate_stride=cfg.tsdf_integrate_stride,
         band_voxels=cfg.tsdf_band_voxels,
         render_chunk=cfg.tsdf_render_chunk,
+        pool_recycle=cfg.tsdf_pool_recycle,
     )
 
 
@@ -691,17 +697,17 @@ class InfiniteSceneGeneration:
         return self.rgb_buf, self.depth_buf
 
     def fusion_stats(self):
-        """(fused/valid fraction, n valid depth samples, pool drops) — the
-        map-truncation telemetry the reference lacks (its out-of-volume
-        samples vanish silently inside Open3D)."""
+        """(fused/valid fraction, n valid depth samples, pool drops, pool
+        recycles) — the map-truncation telemetry the reference lacks (its
+        out-of-volume samples vanish silently inside Open3D)."""
         if self.volume is None:
-            return 1.0, 0.0, 0.0
+            return 1.0, 0.0, 0.0, 0.0
         return fusion_fraction(self.volume)
 
     def _check_fusion(self) -> None:
         if self.volume is None:
             return
-        frac, n_valid, dropped = self.fusion_stats()
+        frac, n_valid, dropped, recycled = self.fusion_stats()
         if n_valid > 0 and frac < 0.99:
             print(
                 f"WARNING: only {frac:.1%} of {n_valid:.0f} valid depth "
@@ -714,6 +720,13 @@ class InfiniteSceneGeneration:
                 f"WARNING: surface-voxel pool overflowed "
                 f"({dropped:.0f} candidates dropped; capacity "
                 f"{self.tsdf_cfg.pool_capacity}) — raise tsdf_pool_capacity"
+            )
+        if recycled > 0:
+            print(
+                f"note: surface-voxel pool wrapped — {recycled:.0f} oldest "
+                f"slots recycled (capacity {self.tsdf_cfg.pool_capacity}); "
+                f"the newest surface stays in the map; raise "
+                f"tsdf_pool_capacity to keep the full history resident"
             )
         from sgam_neurips22_tpu.mapping.tsdf import CLAIM_MAX_FRAMES
 

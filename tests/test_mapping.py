@@ -149,22 +149,85 @@ def test_fusion_telemetry_counts_out_of_volume():
     depth = np.full((H, W), 3.0, np.float32)
     depth[: H // 2] = 10.0  # beyond the volume
     vol = integrate(vol, small, jnp.asarray(depth), jnp.zeros((H, W, 3)), K, jnp.eye(4))
-    frac, n_valid, _ = fusion_fraction(vol)
+    frac, n_valid, *_ = fusion_fraction(vol)
     assert n_valid == H * W
     assert 0.2 < frac < 0.8
 
 
 def test_pool_overflow_is_counted_not_silent():
-    tiny_pool = TSDFConfig(
+    """In-frame overflow (one frame books more than the whole capacity) is
+    dropped+counted in BOTH full-pool policies (a same-frame ring wrap would
+    double-book slots inside one scatter)."""
+    for recycle in (False, True):
+        tiny_pool = TSDFConfig(
+            dims=(64, 64, 64), voxel_size=0.1, sdf_trunc=0.4,
+            origin=(-3.2, -3.2, 0.0), pool_capacity=8, pool_recycle=recycle,
+        )
+        vol = create_volume(tiny_pool)
+        depth, rgb = flat_wall_frame(3.0)
+        vol = integrate(vol, tiny_pool, depth, rgb, K, jnp.eye(4))
+        _, _, dropped, recycled = fusion_fraction(vol)
+        assert int(vol.pool_count) == 8
+        assert dropped > 0
+        assert recycled == 0
+
+
+def _two_wall_pools(recycle: bool):
+    """Fill the pool exactly with a far wall, then fuse a nearer wall whose
+    (disjoint) surface voxels need slots."""
+    probe = TSDFConfig(
         dims=(64, 64, 64), voxel_size=0.1, sdf_trunc=0.4,
-        origin=(-3.2, -3.2, 0.0), pool_capacity=8,
+        origin=(-3.2, -3.2, 0.0), pool_capacity=1 << 15,
     )
-    vol = create_volume(tiny_pool)
-    depth, rgb = flat_wall_frame(3.0)
-    vol = integrate(vol, tiny_pool, depth, rgb, K, jnp.eye(4))
-    _, _, dropped = fusion_fraction(vol)
-    assert int(vol.pool_count) == 8
+    far_d, far_rgb = flat_wall_frame(3.0)
+    cap = int(integrate(create_volume(probe), probe, far_d, far_rgb, K,
+                        jnp.eye(4)).pool_count)
+    cfg = TSDFConfig(
+        dims=(64, 64, 64), voxel_size=0.1, sdf_trunc=0.4,
+        origin=(-3.2, -3.2, 0.0), pool_capacity=cap, pool_recycle=recycle,
+    )
+    vol = create_volume(cfg)
+    vol = integrate(vol, cfg, far_d, far_rgb, K, jnp.eye(4))
+    near_d, near_rgb = flat_wall_frame(2.0)
+    vol = integrate(vol, cfg, near_d, near_rgb, K, jnp.eye(4))
+    return vol, cfg, cap
+
+
+def test_pool_recycle_evicts_oldest_keeps_newest():
+    """Ring-buffer recycling (default): the second frame's surface voxels
+    displace the oldest slots; flags stay exactly the live-slot indicator;
+    the newest wall renders."""
+    vol, cfg, cap = _two_wall_pools(recycle=True)
+    _, _, dropped, recycled = fusion_fraction(vol)
+    assert recycled > 0
+    assert dropped == 0
+    assert int(vol.pool_count) > cap  # lifetime count keeps ring position
+    live = np.unique(np.asarray(vol.pool_ids))
+    assert live.size == cap  # all slots occupied by DISTINCT voxels
+    flagged = np.flatnonzero(np.asarray(vol.flags))
+    np.testing.assert_array_equal(np.sort(live), flagged)
+    rendered = np.asarray(
+        render_depth(vol, cfg, K, jnp.eye(4), (H, W), near=1.0, far=5.0)
+    )
+    center = rendered[16:32, 16:32]
+    assert (center > 0).all()
+    # the near wall's voxel centers project ~2 px apart at z=2, so pixels
+    # between them legitimately z-buffer the (still-mapped) far wall — the
+    # recycling claim is that the NEWEST surface is in the map and wins
+    # wherever it covers, not that point-splat coverage is dense
+    near_frac = np.mean(np.abs(center - 2.0) < 0.08)
+    assert near_frac > 0.5, f"near wall covers only {near_frac:.0%}"
+    assert center.min() > 1.9  # nothing in front of the newest wall
+
+
+def test_pool_recycle_off_keeps_drop_semantics():
+    """pool_recycle=False reverts to round-2 drop-new: the full pool never
+    evicts, the second frame's voxels are dropped and counted."""
+    vol, cfg, cap = _two_wall_pools(recycle=False)
+    _, _, dropped, recycled = fusion_fraction(vol)
+    assert recycled == 0
     assert dropped > 0
+    assert int(vol.pool_count) == cap
 
 
 def _default_scene_fused_fraction(dataset: str, output_dim) -> float:
@@ -245,7 +308,7 @@ def test_end_to_end_fused_fraction_small_scene():
             vol, cfg, jnp.asarray(depth), jnp.zeros((H, W, 3)),
             jnp.asarray(K), jnp.asarray(grid.w2c(idx), jnp.float32),
         )
-    frac, n_valid, _ = fusion_fraction(vol)
+    frac, n_valid, *_ = fusion_fraction(vol)
     assert n_valid == grid.size * H * W
     assert frac >= 0.99
 
@@ -495,8 +558,11 @@ def test_chunk_bboxes_contain_their_pool_entries():
         )
         rgb = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
         vol = integrate(vol, cfg, depth, rgb, K, jnp.eye(4))
-    n = int(vol.pool_count)
+    # pool_count is the LIFETIME counter (ring position when recycling);
+    # live slots are min(count, capacity)
+    n = min(int(vol.pool_count), cfg.pool_capacity)
     assert n > cfg.chunk, "test must span multiple chunks"
+    assert int(vol.pool_count) > cfg.pool_capacity, "test must wrap the ring"
     ids = np.asarray(vol.pool_ids)[:n]
     x, y, z = cfg.dims
     vx = ids // (y * z)

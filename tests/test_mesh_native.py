@@ -29,7 +29,7 @@ def sphere_volume(n=48, radius=1.0):
         flags=np.zeros(n * n * n, np.uint8),
         pool_ids=np.zeros(cfg.pool_capacity, np.int32),
         pool_count=np.zeros((), np.int32),
-        stats=np.zeros(3, np.float32),
+        stats=np.zeros(4, np.float32),
         frame=np.zeros((), np.int32),
         claim=np.zeros(n * n * n, np.int32),
         chunk_lo=np.full((cfg.n_chunks, 3), 1 << 30, np.int32),

@@ -149,7 +149,7 @@ def test_scene_expansion_rgbd_integration_2x2(tiny_params):
     # the seed frame must have been fused into the map — and (new in r2)
     # the auto-sized volume must contain essentially all of it
     assert float(gen.volume.weight.max()) > 0
-    frac, n_valid, dropped = gen.fusion_stats()
+    frac, n_valid, dropped, _recycled = gen.fusion_stats()
     assert n_valid > 0
     assert frac >= 0.99
     assert dropped == 0
