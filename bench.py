@@ -239,8 +239,107 @@ def bench_data_loader(n_images: int = 512, bs: int = 16) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# the full measurement matrix behind `bench.py --all`: every secondary
+# config the round-to-round regression story depends on (the round-3 bbox
+# scatter episode regressed map-requery for several commits because only
+# the headline number was recorded — see VERDICT r3 weak #6). One JSONL row
+# per config lands in bench_matrix.jsonl + a BENCH_MATRIX.md table.
+MATRIX = [
+    ("flythrough", []),
+    ("flythrough_splat_stride2", ["--splat_stride", "2"]),
+    ("google_earth", ["--config", "google_earth"]),
+    ("integration_clevr", ["--config", "integration"]),
+    ("integration_clevr_stride2", ["--config", "integration", "--tsdf_stride", "2"]),
+    ("integration_google_earth",
+     ["--config", "google_earth", "--rgbd_integration", "--frames", "100"]),
+    ("integration_google_earth_stride2",
+     ["--config", "google_earth", "--rgbd_integration", "--frames", "100",
+      "--tsdf_stride", "2"]),
+    ("batched_8_scenes", ["--batch_scenes", "8", "--frames", "48"]),
+    ("vqgan_roundtrip", ["--config", "vqgan"]),
+    ("train_codebook", ["--config", "train_codebook"]),
+    ("train_conditional", ["--config", "train_conditional"]),
+    ("data_loader", ["--config", "data_loader"]),
+]
+
+
+def run_matrix(out_md: str = "BENCH_MATRIX.md",
+               out_jsonl: str = "bench_matrix.jsonl") -> int:
+    """Run every MATRIX config in a fresh subprocess (isolated backend +
+    memory; the persistent compilation cache keeps repeats fast) and commit
+    the results as one table. Returns the number of failed configs."""
+    import subprocess
+
+    rows, failures = [], 0
+    for name, extra in MATRIX:
+        cmd = [sys.executable, os.path.abspath(__file__)] + extra
+        print(f"# bench --all: {name}: {' '.join(cmd[1:])}", flush=True)
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = next(
+                (ln for ln in reversed(proc.stdout.strip().splitlines())
+                 if ln.startswith("{")), None,
+            )
+            if proc.returncode != 0 or line is None:
+                failures += 1
+                rows.append({"config": name, "error":
+                             (proc.stderr or proc.stdout).strip()[-400:]})
+                print(f"# bench --all: {name} FAILED (rc={proc.returncode})",
+                      flush=True)
+                continue
+            rec = json.loads(line)
+        except subprocess.TimeoutExpired:
+            failures += 1
+            rows.append({"config": name, "error": "timeout (3600s)"})
+            print(f"# bench --all: {name} TIMED OUT", flush=True)
+            continue
+        rec = {"config": name, **rec,
+               "wall_s": round(time.perf_counter() - t0, 1)}
+        rows.append(rec)
+        print(f"# bench --all: {name}: {rec['value']} {rec['unit']}", flush=True)
+
+    with open(out_jsonl, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    lines = [
+        "# Bench matrix",
+        "",
+        "Regenerate with `python bench.py --all` (one subprocess per config; "
+        "~30-60 min cold, minutes with a warm XLA compilation cache). "
+        "Raw rows: `bench_matrix.jsonl`.",
+        "",
+        f"Recorded: {time.strftime('%Y-%m-%d %H:%M')} on "
+        f"{jax.devices()[0].device_kind} x{jax.device_count()}",
+        "",
+        "| config | value | unit | vs_baseline | mfu | notes |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        if "error" in r:
+            lines.append(
+                f"| {r['config']} | ERROR | | | | {r['error'][:120]} |")
+        else:
+            lines.append(
+                f"| {r['config']} | {r['value']} | {r['unit']} | "
+                f"{r.get('vs_baseline', '')} | {r.get('mfu', '')} | "
+                f"{r['metric']} |"
+            )
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"# bench --all: wrote {out_md} + {out_jsonl} "
+          f"({failures} failures)", flush=True)
+    return failures
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
+    p.add_argument("--all", action="store_true",
+                   help="run the full measurement matrix (one subprocess per "
+                        "config) and write BENCH_MATRIX.md + bench_matrix.jsonl")
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--rgbd_integration", action="store_true")
     p.add_argument("--per_step", action="store_true")
@@ -288,6 +387,9 @@ def main() -> None:
                         "flythrough=#4 CLEVR unroll, google_earth=#5; "
                         "train_* = GAN training step throughput")
     args = p.parse_args()
+
+    if getattr(args, "all"):
+        sys.exit(1 if run_matrix() else 0)
 
     _enable_compilation_cache()
 

@@ -430,31 +430,55 @@ def integrate(
     frame_hi = jnp.where(m, cand_g, -1).max(axis=0)
     # slot positions are ring positions when recycling (bboxes stay grow-only
     # supersets of their chunk's occupants — conservative, so the cull is
-    # still correct after a wrap, just less effective)
-    start = (
-        vol.pool_count % cfg.pool_capacity if cfg.pool_recycle
-        else vol.pool_count
-    )
-    c0 = start // cfg.chunk
-    end = start + n_added
+    # still correct after a wrap, just less effective). The chunk of a ring
+    # position rp is rp // chunk — the SAME mapping the splat uses — so the
+    # touched set must be computed in RING coordinates: split the booked
+    # range [start, start+n_added) into its <= 2 linear ring segments
+    # ([start, min(end, cap)) and the wrapped tail [0, end-cap)). Routing
+    # absolute chunk ids via `% n_chunks` instead is wrong whenever
+    # pool_capacity is not a multiple of chunk (the partial last chunk
+    # shifts every wrapped position's chunk), which silently re-creates the
+    # stale-cull failure recycling exists to fix (round-3 ADVICE, high).
     chunk_lo, chunk_hi = vol.chunk_lo, vol.chunk_hi
-    for k in range(-(-cand.shape[0] // cfg.chunk) + 1):
-        c_abs = c0 + k
-        c = c_abs % cfg.n_chunks if cfg.pool_recycle else c_abs
-        # did chunk c receive entries this frame? New slots are the
-        # CONSECUTIVE range [pool_count, end), so this is a scalar interval
-        # intersection — each touched chunk takes the frame-wide bbox
-        # (conservative superset; per-chunk bboxes would need a full-width
-        # masked reduction PER candidate chunk, O(candidates^2/chunk) as
+
+    def grow(chunk_lo, chunk_hi, c, has):
+        # each touched chunk takes the frame-wide bbox (conservative
+        # superset; per-chunk bboxes would need a full-width masked
+        # reduction PER candidate chunk, O(candidates^2/chunk) as
         # render_chunk shrinks). Untouched chunks get neutral elements,
         # which the grow-only min/max ignores.
-        has = (end > c_abs * cfg.chunk) & (start < (c_abs + 1) * cfg.chunk)
         chunk_lo = chunk_lo.at[c].min(
             jnp.where(has, frame_lo, 1 << 30), mode="drop"
         )
         chunk_hi = chunk_hi.at[c].max(
             jnp.where(has, frame_hi, -1), mode="drop"
         )
+        return chunk_lo, chunk_hi
+
+    max_touched = -(-cand.shape[0] // cfg.chunk) + 1
+    if cfg.pool_recycle:
+        start = vol.pool_count % cfg.pool_capacity
+        end_a = jnp.minimum(start + n_added, cfg.pool_capacity)
+        end_b = start + n_added - cfg.pool_capacity  # wrapped tail [0, end_b)
+    else:
+        start = vol.pool_count
+        end_a = start + n_added
+        end_b = None
+    c0 = start // cfg.chunk
+    for k in range(max_touched):
+        c = c0 + k
+        has = (end_a > c * cfg.chunk) & (start < (c + 1) * cfg.chunk)
+        chunk_lo, chunk_hi = grow(chunk_lo, chunk_hi, c, has)
+    if end_b is not None:
+        # one frame books at most `capacity` slots (`fits` above), so the
+        # wrapped tail is a single linear segment starting at ring 0 with
+        # end_b <= n_added <= candidate count: static chunk ids.
+        for k in range(max_touched - 1):
+            if k >= cfg.n_chunks:
+                break
+            chunk_lo, chunk_hi = grow(
+                chunk_lo, chunk_hi, k, end_b > k * cfg.chunk
+            )
 
     return TSDFVolume(
         grid=grid,

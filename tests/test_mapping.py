@@ -545,18 +545,29 @@ def test_pipeline_render_chunk_knob_plumbs_through():
 def test_chunk_bboxes_contain_their_pool_entries():
     """Frustum-culling correctness rests on this invariant: every pooled
     voxel's coordinates lie inside its render chunk's bbox, whatever the
-    chunk size and however frames straddle chunk boundaries."""
-    rng = np.random.default_rng(31)
+    chunk size and however frames straddle chunk boundaries.
+
+    The frames are flat walls at DISJOINT one-voxel z-slabs, so each frame's
+    bbox is tight and distinct: a bbox update routed to the wrong ring chunk
+    leaves that chunk's true occupants outside its bbox and fails containment
+    below. Full-frustum random depths would mask this (every frame-wide bbox
+    is near-global, so grow-only unions hide mis-routed updates).
+
+    The geometry is chosen to hit the historical desync exactly: chunk 1800
+    does not divide capacity 4096 (chunks [0,1800) [1800,3600) [3600,4096)),
+    and each 48x48 wall at depth >= 4.0 books exactly 2304 unique voxels
+    (pixel spacing d/f >= voxel size). Frame 2 then books ring 2304..4095
+    plus a WRAPPED tail at ring 0..511 — chunk 0 — while routing absolute
+    chunk ids via `% n_chunks` assigns the tail to absolute interval
+    [5400, 7200), which the frame never reaches: chunk 0 keeps only frame
+    1's z-slab and the tail voxels land outside it."""
     cfg = TSDFConfig(
         dims=(64, 64, 64), voxel_size=0.1, sdf_trunc=0.4,
-        origin=(-3.2, -3.2, 0.0), pool_capacity=1 << 12, render_chunk=900,
+        origin=(-3.2, -3.2, 0.0), pool_capacity=1 << 12, render_chunk=1800,
     )
     vol = create_volume(cfg)
-    for i in range(6):
-        depth = jnp.asarray(
-            rng.uniform(2.0, 4.5, (H, W)).astype(np.float32)
-        )
-        rgb = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    for d in (4.0, 4.3):
+        depth, rgb = flat_wall_frame(d)
         vol = integrate(vol, cfg, depth, rgb, K, jnp.eye(4))
     # pool_count is the LIFETIME counter (ring position when recycling);
     # live slots are min(count, capacity)
