@@ -369,6 +369,13 @@ def main() -> None:
                         "(0 = library default; finer sharpens pool-count/frustum "
                         "culls at a per-chunk fixed cost — do not set below "
                         "the per-frame integrate ray count)")
+    p.add_argument("--tsdf_pool", type=int, default=0,
+                   help="map-requery: surface-pool capacity override "
+                        "(0 = auto); with recycling the pool is a cache of "
+                        "the newest surface and the splat cost is linear in "
+                        "this")
+    p.add_argument("--tsdf_cells", type=int, default=0,
+                   help="map-requery: spatial pool cells (0 = auto)")
     p.add_argument("--tsdf_band", type=int, default=0,
                    help="map-requery: fused band half-width in voxels "
                         "(0 = auto from sdf_trunc; the band scatter is the "
@@ -496,6 +503,8 @@ def main() -> None:
         tsdf_integrate_stride=args.tsdf_stride,
         tsdf_band_voxels=args.tsdf_band or None,
         tsdf_render_chunk=args.tsdf_chunk or None,
+        tsdf_pool_capacity=args.tsdf_pool or None,
+        tsdf_pool_cells=args.tsdf_cells or None,
         splat_stride=args.splat_stride,
     )
     # use the reference's real seed template when its checkout is present

@@ -97,12 +97,22 @@ class TSDFConfig:
     # integrate every s-th ray (1 = all pixels, the reference behavior); the
     # band scatter is the fusion cost and scales 1/s^2 — see integrate()
     integrate_stride: int = 1
-    # pool-splat chunk granularity: the render scatter costs
-    # O(chunk x chunks_in_use) and chunks entirely beyond pool_count are
-    # skipped (projection AND scatter), so a finer chunk makes early/sparse
-    # frames pay only for the slots actually filled. Must be <= 2^20 (the
-    # packed-key index width).
+    # pool-splat chunk granularity: within each cell, the render scatter
+    # runs in sub-chunks of this size and sub-chunks beyond the cell's live
+    # count are skipped (projection AND scatter), so a finer chunk makes
+    # early/sparse frames pay only for the slots actually filled. Must be
+    # <= 2^20 (the packed-key index width).
     render_chunk: int = 1 << 18
+    # SPATIAL pool cells: the pool is partitioned into n_cells independent
+    # ring allocators, one per equal slab of the volume along its longest
+    # axis. A surface voxel always lands in its own slab's slots, so every
+    # slot range has STATIC spatial bounds and the splat frustum-culls
+    # whole cells exactly — cost O(live slots in visible cells), not
+    # O(pool capacity). (The round-3 design appended slots globally; once
+    # the ring wrapped, grow-only chunk bboxes inflated to the whole volume
+    # and the cull died — the google_earth map-requery regression.)
+    # None = one cell per render_chunk's worth of capacity, capped at 64.
+    pool_cells: Optional[int] = None
 
     def __post_init__(self):
         if int(np.prod(self.dims)) >= 2**31:
@@ -113,15 +123,50 @@ class TSDFConfig:
             # 0 would silently fuse nothing (empty depth maps); the auto
             # path clamps to the same [1, 8] range
             raise ValueError(f"band_voxels {self.band_voxels} not in [1, 8]")
+        if self.pool_cells is not None and not (
+            1 <= self.pool_cells <= self.dims[self.split_axis]
+        ):
+            raise ValueError(
+                f"pool_cells {self.pool_cells} not in [1, "
+                f"dims[{self.split_axis}]={self.dims[self.split_axis]}]"
+            )
+
+    @property
+    def split_axis(self) -> int:
+        """Volume axis the pool cells slab along (the longest: long
+        trajectories extend the volume along their motion axis, which is
+        exactly the axis behind-the-camera culling pays off on)."""
+        return int(np.argmax(self.dims))
+
+    @property
+    def n_cells(self) -> int:
+        if self.pool_cells is not None:
+            return self.pool_cells
+        auto = -(-self.pool_capacity // self.render_chunk)
+        return int(np.clip(auto, 1, min(64, self.dims[self.split_axis])))
+
+    @property
+    def cell_cap(self) -> int:
+        """Slots per cell; the allocated pool is n_cells * cell_cap
+        (>= pool_capacity, rounded up to an equal per-cell split)."""
+        return -(-self.pool_capacity // self.n_cells)
+
+    @property
+    def capacity(self) -> int:
+        """Effective pool slots actually allocated."""
+        return self.cell_cap * self.n_cells
 
     @property
     def chunk(self) -> int:
-        """Render-chunk size actually used by the pool splat."""
-        return min(self.pool_capacity, self.render_chunk)
+        """Render sub-chunk size actually used by the pool splat."""
+        return min(self.cell_cap, self.render_chunk)
 
-    @property
-    def n_chunks(self) -> int:
-        return -(-self.pool_capacity // self.chunk)
+    def cell_bounds(self) -> list:
+        """Static per-cell voxel-coordinate ranges [(lo, hi_exclusive)]
+        along split_axis: coord c belongs to cell (c * n_cells) // dims."""
+        d = self.dims[self.split_axis]
+        c = self.n_cells
+        return [(-(-k * d // c), -(-(k + 1) * d // c)) for k in range(c)]
 
     @property
     def band(self) -> int:
@@ -139,11 +184,23 @@ class TSDFConfig:
 
 @struct.dataclass
 class TSDFVolume:
-    grid: jnp.ndarray  # [X, Y, Z] f32 signed tsdf-contribution sums
+    # FLAT [X*Y*Z] f32 signed tsdf-contribution sums. Stored 1-D on purpose:
+    # integrate/render index it linearly, and a [X,Y,Z] array would make
+    # every `.reshape(-1)` a LAYOUT change that XLA lowers to a
+    # slice-by-slice copy loop — measured 27 ms/frame on the google_earth
+    # volume (~450M voxels): two while-of-dynamic-slice copies bracketing
+    # the band scatter, each far below memcpy speed. 1-D arrays have a
+    # trivial layout, so the scatter updates in place.
+    grid: jnp.ndarray
     flags: jnp.ndarray  # [X*Y*Z] uint8: 1 if the voxel is in the surface pool
-    pool_ids: jnp.ndarray  # [P] int32 linear voxel ids (surface voxels)
-    pool_count: jnp.ndarray  # [] int32 LIFETIME slots booked (ring position when
-    # recycling; live slots = min(pool_count, capacity))
+    # [n_cells * cell_cap] int32 linear voxel ids; cell k owns the slot
+    # range [k * cell_cap, (k+1) * cell_cap) and only stores voxels whose
+    # split-axis coordinate lies in that cell's static slab — the splat's
+    # frustum cull rests on this invariant
+    pool_ids: jnp.ndarray
+    # [n_cells] int32 LIFETIME slots booked per cell (ring position when
+    # recycling; live slots per cell = min(count, cell_cap))
+    cell_counts: jnp.ndarray
     stats: jnp.ndarray  # [4] f32: (valid samples, fused samples, pool drops, pool recycles)
     # persistent in-frame dedup grid: each integrate() writes generation-keyed
     # entries (frame << pos_bits | reversed pixel pos) via ONE scatter-max, so
@@ -151,38 +208,35 @@ class TSDFVolume:
     # cost ~0.8 ms/frame); stale keys from earlier frames always lose the max
     frame: jnp.ndarray  # [] int32 frames integrated so far
     claim: jnp.ndarray  # [X*Y*Z] int32 generation-keyed claim entries
-    # per-render-chunk voxel-coordinate bounds of the pool entries stored in
-    # that chunk (grow-only; maintained by integrate via two small scatters).
-    # The pool splat culls whole chunks whose bbox lies outside the target
-    # frustum — on long trajectories (GE 100x1) most of the map is behind
-    # the camera and its chunks never pay projection or scatter.
-    chunk_lo: jnp.ndarray  # [C, 3] int32 (init 2^30: empty)
-    chunk_hi: jnp.ndarray  # [C, 3] int32 (init -1: empty)
+
+    @property
+    def pool_count(self) -> jnp.ndarray:
+        """Total LIFETIME slots booked across cells."""
+        return self.cell_counts.sum()
 
     @property
     def tsdf(self) -> jnp.ndarray:
-        """Mean-sign TSDF in [-1, 1] (sums clipped; sign matches the mean —
-        unobserved voxels read 0, gate on `weight`)."""
+        """Mean-sign TSDF in [-1, 1], FLAT [X*Y*Z] (sums clipped; sign
+        matches the mean — unobserved voxels read 0, gate on `weight`).
+        Reshape with cfg.dims for a 3-D view (host-side exports do)."""
         return jnp.clip(self.grid, -1.0, 1.0)
 
     @property
     def weight(self) -> jnp.ndarray:
-        """Observedness indicator [X, Y, Z] (any band sample touched)."""
+        """Observedness indicator, FLAT [X*Y*Z] (any band sample touched)."""
         return (self.grid != 0.0).astype(jnp.float32)
 
 
 def create_volume(cfg: TSDFConfig) -> TSDFVolume:
     x, y, z = cfg.dims
     return TSDFVolume(
-        grid=jnp.zeros((x, y, z), jnp.float32),
+        grid=jnp.zeros(x * y * z, jnp.float32),
         flags=jnp.zeros(x * y * z, jnp.uint8),
-        pool_ids=jnp.zeros(cfg.pool_capacity, jnp.int32),
-        pool_count=jnp.zeros((), jnp.int32),
+        pool_ids=jnp.zeros(cfg.capacity, jnp.int32),
+        cell_counts=jnp.zeros(cfg.n_cells, jnp.int32),
         stats=jnp.zeros(4, jnp.float32),
         frame=jnp.zeros((), jnp.int32),
         claim=jnp.zeros(x * y * z, jnp.int32),
-        chunk_lo=jnp.full((cfg.n_chunks, 3), 1 << 30, jnp.int32),
-        chunk_hi=jnp.full((cfg.n_chunks, 3), -1, jnp.int32),
     )
 
 
@@ -199,6 +253,7 @@ def auto_config(
     integrate_stride: int = 1,
     render_chunk: Optional[int] = None,  # None = TSDFConfig default
     pool_recycle: bool = True,
+    pool_cells: Optional[int] = None,  # None = auto (see TSDFConfig)
     verbose: bool = True,
 ) -> TSDFConfig:
     """Size/place the volume from the trajectory ∪ viewing-frustum hull.
@@ -277,6 +332,7 @@ def auto_config(
         pool_capacity=pool_capacity,
         integrate_stride=integrate_stride,
         pool_recycle=pool_recycle,
+        pool_cells=pool_cells,
         **extra,
     )
 
@@ -355,10 +411,7 @@ def integrate(
     # masked samples contribute exactly 0.0 at index 0 — a value no-op, so no
     # scatter mode="drop" bookkeeping is needed.
     vals = contrib_t * ok.astype(jnp.float32)  # [H, W, K2]
-    grid = (
-        vol.grid.reshape(-1).at[lin.reshape(-1)].add(vals.reshape(-1))
-        .reshape(vol.grid.shape)
-    )
+    grid = vol.grid.at[lin.reshape(-1)].add(vals.reshape(-1))
 
     # --- telemetry: did the valid samples land inside the volume?
     center_ok = ok[..., band - 1] | ok[..., band]
@@ -388,108 +441,64 @@ def integrate(
     claim = vol.claim.at[cand].max(jnp.where(cand_ok, own, 0))
     first = cand_ok & (claim[cand] == own)
     new = first & (vol.flags[cand] == 0)
-    slots = vol.pool_count + jnp.cumsum(new.astype(jnp.int32)) - 1  # lifetime
-    # one frame can book at most `capacity` slots (an in-frame ring wrap
-    # would double-book a slot inside a single scatter); excess is
-    # dropped and counted either way.
-    fits = new & (slots < vol.pool_count + cfg.pool_capacity)
+
+    # --- spatial-cell slot allocation: a candidate voxel always books a
+    # slot inside its own slab's cell (see TSDFConfig.pool_cells), so the
+    # splat can frustum-cull whole cells from their STATIC bounds. Per-cell
+    # ranks via a [N, C] one-hot cumsum (C <= 64: a few MB of i32, ordinary
+    # vector work — no sort, no row scatter).
+    n_cells, cell_cap = cfg.n_cells, cfg.cell_cap
+    axis_coord = g[..., band - 1, cfg.split_axis].reshape(-1)
+    cell = jnp.clip(
+        (axis_coord * n_cells) // cfg.dims[cfg.split_axis], 0, n_cells - 1
+    )
+    onehot = (cell[:, None] == jnp.arange(n_cells)) & new[:, None]
+    ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=0)  # [N, C] inclusive
+    booked = ranks[-1]  # [C] new slots booked per cell this frame
+    rank = jnp.take_along_axis(ranks, cell[:, None], axis=1)[:, 0]  # 1-based
+    slots = vol.cell_counts[cell] + rank - 1  # lifetime position in cell
+    # one frame can book at most `cell_cap` slots per cell (an in-frame
+    # ring wrap would double-book a slot inside a single scatter); excess
+    # is dropped and counted either way.
+    fits = new & (slots < vol.cell_counts[cell] + cell_cap)
     if cfg.pool_recycle:
-        # full pool: recycle the OLDEST slots (ring buffer) so the newest
-        # observed surface always enters the map — bounded-memory parity
-        # with the reference's unbounded ScalableTSDFVolume. Evict the
-        # current occupants of reused slots (clear their dedup flag) so the
-        # evicted voxels can re-enter when next observed. Evicted ids are
-        # disjoint from this frame's additions (fits requires flags == 0;
-        # occupants have flags == 1), so the two flag updates commute.
-        slot = jnp.where(fits, slots % cfg.pool_capacity, cfg.pool_capacity)
-        reused = fits & (slots >= cfg.pool_capacity)
+        # full cell: recycle its OLDEST slots (per-cell ring buffer) so the
+        # newest observed surface always enters the map — bounded-memory
+        # parity with the reference's unbounded ScalableTSDFVolume. Evict
+        # the current occupants of reused slots (clear their dedup flag) so
+        # the evicted voxels can re-enter when next observed. Evicted ids
+        # are disjoint from this frame's additions (fits requires
+        # flags == 0; occupants have flags == 1), so the flag updates
+        # commute.
+        slot = jnp.where(
+            fits, cell * cell_cap + slots % cell_cap, cfg.capacity
+        )
+        reused = fits & (slots >= cell_cap)
         oob = vol.flags.shape[0]  # definitely-dropped scatter index
         evict = jnp.where(reused, vol.pool_ids[slot], oob)
         flags0 = vol.flags.at[evict].set(0, mode="drop")
         n_recycled = jnp.sum(reused.astype(jnp.float32))
     else:
-        fits = fits & (slots < cfg.pool_capacity)
-        slot = jnp.where(fits, slots, cfg.pool_capacity)
+        fits = fits & (slots < cell_cap)
+        slot = jnp.where(fits, cell * cell_cap + slots, cfg.capacity)
         flags0 = vol.flags
         n_recycled = jnp.float32(0.0)
     pool_ids = vol.pool_ids.at[slot].set(cand, mode="drop")
     flags = flags0.at[cand].max(fits.astype(jnp.uint8))
     n_added = jnp.sum(fits.astype(jnp.int32))
     n_dropped = jnp.sum((new & ~fits).astype(jnp.float32))
-
-    # per-render-chunk bbox of the newly pooled voxels (grow-only), keeping
-    # the splat's frustum culling conservative-correct. New pool slots are
-    # CONSECUTIVE (cumsum allocation), so a frame touches at most
-    # ceil(candidates/chunk)+1 chunks: compute each touched chunk's bbox by
-    # masked REDUCTION and update one 3-elem row per chunk. (The obvious
-    # `chunk_lo.at[ci].min(cand_g)` is an [N,3]-ROW scatter — the measured
-    # ~80 ns/row slow path, ~5 ms/frame at stride 1; see NOTES.md round 2.)
-    cand_g = g[..., band - 1, :].reshape(-1, 3)
-    m = fits[:, None]
-    frame_lo = jnp.where(m, cand_g, 1 << 30).min(axis=0)  # [3]
-    frame_hi = jnp.where(m, cand_g, -1).max(axis=0)
-    # slot positions are ring positions when recycling (bboxes stay grow-only
-    # supersets of their chunk's occupants — conservative, so the cull is
-    # still correct after a wrap, just less effective). The chunk of a ring
-    # position rp is rp // chunk — the SAME mapping the splat uses — so the
-    # touched set must be computed in RING coordinates: split the booked
-    # range [start, start+n_added) into its <= 2 linear ring segments
-    # ([start, min(end, cap)) and the wrapped tail [0, end-cap)). Routing
-    # absolute chunk ids via `% n_chunks` instead is wrong whenever
-    # pool_capacity is not a multiple of chunk (the partial last chunk
-    # shifts every wrapped position's chunk), which silently re-creates the
-    # stale-cull failure recycling exists to fix (round-3 ADVICE, high).
-    chunk_lo, chunk_hi = vol.chunk_lo, vol.chunk_hi
-
-    def grow(chunk_lo, chunk_hi, c, has):
-        # each touched chunk takes the frame-wide bbox (conservative
-        # superset; per-chunk bboxes would need a full-width masked
-        # reduction PER candidate chunk, O(candidates^2/chunk) as
-        # render_chunk shrinks). Untouched chunks get neutral elements,
-        # which the grow-only min/max ignores.
-        chunk_lo = chunk_lo.at[c].min(
-            jnp.where(has, frame_lo, 1 << 30), mode="drop"
-        )
-        chunk_hi = chunk_hi.at[c].max(
-            jnp.where(has, frame_hi, -1), mode="drop"
-        )
-        return chunk_lo, chunk_hi
-
-    max_touched = -(-cand.shape[0] // cfg.chunk) + 1
-    if cfg.pool_recycle:
-        start = vol.pool_count % cfg.pool_capacity
-        end_a = jnp.minimum(start + n_added, cfg.pool_capacity)
-        end_b = start + n_added - cfg.pool_capacity  # wrapped tail [0, end_b)
-    else:
-        start = vol.pool_count
-        end_a = start + n_added
-        end_b = None
-    c0 = start // cfg.chunk
-    for k in range(max_touched):
-        c = c0 + k
-        has = (end_a > c * cfg.chunk) & (start < (c + 1) * cfg.chunk)
-        chunk_lo, chunk_hi = grow(chunk_lo, chunk_hi, c, has)
-    if end_b is not None:
-        # one frame books at most `capacity` slots (`fits` above), so the
-        # wrapped tail is a single linear segment starting at ring 0 with
-        # end_b <= n_added <= candidate count: static chunk ids.
-        for k in range(max_touched - 1):
-            if k >= cfg.n_chunks:
-                break
-            chunk_lo, chunk_hi = grow(
-                chunk_lo, chunk_hi, k, end_b > k * cfg.chunk
-            )
+    dropped_per_cell = jnp.sum(
+        (onehot & (new & ~fits)[:, None]).astype(jnp.int32), axis=0
+    )
 
     return TSDFVolume(
         grid=grid,
         flags=flags,
         pool_ids=pool_ids,
-        pool_count=vol.pool_count + n_added,
+        cell_counts=vol.cell_counts + booked - dropped_per_cell,
         stats=vol.stats + jnp.stack([n_valid, n_fused, n_dropped, n_recycled]),
         frame=vol.frame + 1,
         claim=claim,
-        chunk_lo=chunk_lo,
-        chunk_hi=chunk_hi,
     )
 
 
@@ -519,7 +528,7 @@ def _sample_grid(vol: TSDFVolume, cfg: TSDFConfig, pts: jnp.ndarray, interp: str
         # scalar-gather floor that 1-D index arithmetic achieves elsewhere
         # (integrate/pool paths); identical values either way
         lin = (gc[..., 0] * cfg.dims[1] + gc[..., 1]) * cfg.dims[2] + gc[..., 2]
-        v = vol.grid.reshape(-1)[lin]
+        v = vol.grid[lin]
         return v, inb & (v != 0.0)
     # trilinear over the sum field
     g = (pts - jnp.asarray(cfg.origin)) / cfg.voxel_size - 0.5
@@ -528,7 +537,7 @@ def _sample_grid(vol: TSDFVolume, cfg: TSDFConfig, pts: jnp.ndarray, interp: str
     g0 = g0.astype(jnp.int32)
     vals = 0.0
     obs = jnp.ones(pts.shape[:-1], bool)
-    flat = vol.grid.reshape(-1)  # 1-D gathers: see the nearest path above
+    flat = vol.grid  # already flat: see the nearest path above
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
@@ -558,14 +567,21 @@ def _render_depth_splat(
     near: float,
     far: float,
     refine: bool = True,
+    cull: bool = True,
 ) -> jnp.ndarray:
     """Target-view z-depth by splatting the surface-voxel pool through one
     packed scatter-min z-buffer (12-bit quantized z + 20-bit pool index in a
     uint32 key — same trick as geometry/splat.py, which measured ~3x faster
     than separate min+gather+min passes), then sub-voxel refinement against
-    the TSDF along each hit ray and 3x3 median hole filling."""
+    the TSDF along each hit ray and 3x3 median hole filling.
+
+    Cost is O(live slots in frustum-visible cells): every pool cell has
+    STATIC spatial bounds (TSDFConfig.pool_cells), so cells wholly outside
+    the target frustum skip projection AND scatter via lax.cond, and within
+    a visible cell, render_chunk-sized sub-chunks beyond the cell's live
+    count are skipped too. `cull=False` disables the frustum cull (testing:
+    culling must be exactly output-invariant)."""
     h, w = image_size
-    p = cfg.pool_capacity
     dims = cfg.dims
     ids = vol.pool_ids
     r = extrinsic[:3, :3]
@@ -582,95 +598,99 @@ def _render_depth_splat(
         return centers @ r.T + t
 
     sentinel = jnp.uint32(0xFFFFFFFF)
-    # The packed key indexes up to 2^20 points; the pool splats in
-    # cfg.render_chunk-sized pieces. A chunk is skipped via lax.cond —
-    # projection AND scatter — when it is beyond pool_count (the pool fills
-    # gradually, so frames pay O(slots in use)) OR when its voxel bbox lies
-    # entirely outside the target frustum (on long trajectories most of the
-    # map is behind the camera; a full 2^20-slot chunk costs ~10.5 ms on
-    # v5e, so every culled chunk is pure savings).
-    # MUST be cfg.chunk: integrate's bbox maintenance maps slots to chunks
-    # with the same quantity — a divergent copy here would desynchronize
-    # the cull from the bboxes and drop visible surface points.
     chunk = cfg.chunk
+    cell_cap = cfg.cell_cap
 
-    def chunk_visible(ci: int):
-        lo = vol.chunk_lo[ci]
-        hi = vol.chunk_hi[ci]
-        nonempty = jnp.all(hi >= lo)
-        # 8 world-space bbox corners -> camera frame
-        lo_w = lo.astype(jnp.float32) * cfg.voxel_size + jnp.asarray(cfg.origin)
-        hi_w = (hi + 1).astype(jnp.float32) * cfg.voxel_size + jnp.asarray(
-            cfg.origin
+    # --- static world-space cell boxes -> per-cell visibility [C] (one
+    # tiny vectorized 8-corner check; bounds are compile-time constants)
+    corners = np.empty((cfg.n_cells, 8, 3), np.float32)
+    for ci, (alo, ahi) in enumerate(cfg.cell_bounds()):
+        lo = np.zeros(3)
+        hi = np.asarray(dims, np.float64).copy()
+        lo[cfg.split_axis] = alo
+        hi[cfg.split_axis] = ahi
+        lo = lo * cfg.voxel_size + np.asarray(cfg.origin)
+        hi = hi * cfg.voxel_size + np.asarray(cfg.origin)
+        sel = np.array(
+            [[(k >> 2) & 1, (k >> 1) & 1, k & 1] for k in range(8)], np.float64
         )
-        sel = jnp.asarray(
-            [[(k >> 2) & 1, (k >> 1) & 1, k & 1] for k in range(8)],
-            jnp.float32,
-        )
-        corners = lo_w * (1 - sel) + hi_w * sel  # [8, 3]
-        cam = corners @ r.T + t
-        z = cam[:, 2]
-        all_behind = jnp.all(z < max(near, 1e-3))
-        all_beyond = jnp.all(z > far)
-        # image-bounds cull is only conservative when the whole box is in
-        # front of the camera (projection of a convex set then lies in the
-        # hull of the projected vertices)
-        zs = jnp.maximum(z, 1e-6)
-        u = intrinsics[0, 0] * cam[:, 0] / zs + intrinsics[0, 2]
-        v = intrinsics[1, 1] * cam[:, 1] / zs + intrinsics[1, 2]
-        all_front = jnp.all(z > 1e-3)
-        off_image = all_front & (
-            jnp.all(u < -0.5) | jnp.all(u >= w - 0.5)
-            | jnp.all(v < -0.5) | jnp.all(v >= h - 0.5)
-        )
-        return nonempty & ~(all_behind | all_beyond | off_image)
+        corners[ci] = lo * (1 - sel) + hi * sel
+    cam_c = jnp.asarray(corners) @ r.T + t  # [C, 8, 3]
+    z_c = cam_c[..., 2]
+    all_behind = jnp.all(z_c < max(near, 1e-3), axis=1)
+    all_beyond = jnp.all(z_c > far, axis=1)
+    # image-bounds cull is only conservative when the whole box is in front
+    # of the camera (projection of a convex set then lies in the hull of
+    # the projected vertices)
+    zs_c = jnp.maximum(z_c, 1e-6)
+    u_c = intrinsics[0, 0] * cam_c[..., 0] / zs_c + intrinsics[0, 2]
+    v_c = intrinsics[1, 1] * cam_c[..., 1] / zs_c + intrinsics[1, 2]
+    all_front = jnp.all(z_c > 1e-3, axis=1)
+    off_image = all_front & (
+        jnp.all(u_c < -0.5, axis=1) | jnp.all(u_c >= w - 0.5, axis=1)
+        | jnp.all(v_c < -0.5, axis=1) | jnp.all(v_c >= h - 0.5, axis=1)
+    )
+    visible = ~(all_behind | all_beyond | off_image)
+    if not cull:
+        visible = jnp.ones_like(visible)
 
     best = None
     chunk_sel = jnp.zeros((h * w,), jnp.int32)
-    for ci, c0 in enumerate(range(0, p, chunk)):
-        c1 = min(c0 + chunk, p)
+    starts = []  # global pool offset of each sub-chunk (static)
+    for ci in range(cfg.n_cells):
+        live = jnp.minimum(vol.cell_counts[ci], cell_cap)
+        for k in range(-(-cell_cap // chunk)):
+            c0 = ci * cell_cap + k * chunk
+            c1 = min(c0 + chunk, (ci + 1) * cell_cap)
 
-        def scatter_chunk(c0=c0, c1=c1):
-            cam = cam_coords(ids[c0:c1])
-            z = cam[..., 2]
-            zs = jnp.maximum(z, 1e-6)
-            u = intrinsics[0, 0] * cam[..., 0] / zs + intrinsics[0, 2]
-            v = intrinsics[1, 1] * cam[..., 1] / zs + intrinsics[1, 2]
-            ui = jnp.floor(u + 0.5).astype(jnp.int32)
-            vi = jnp.floor(v + 0.5).astype(jnp.int32)
-            active = jnp.arange(c0, c1, dtype=jnp.int32) < vol.pool_count
-            valid = (
-                active
-                & (z > max(near, 1e-3))
-                & (z < far)
-                & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
-            )
-            pix = jnp.where(valid, vi * w + ui, 0)
-            zq = jnp.clip(
-                (z - near) / (far - near) * 4095.0, 0, 4095
-            ).astype(jnp.uint32)
-            key = (zq << _POOL_IDX_BITS) | jnp.arange(c1 - c0, dtype=jnp.uint32)
-            key = jnp.where(valid, key, sentinel)
-            return (
-                jnp.full((h * w,), sentinel, jnp.uint32)
-                .at[pix]
-                .min(key, mode="drop")
-            )
+            def scatter_chunk(c0=c0, c1=c1, k=k, live=live):
+                cam = cam_coords(ids[c0:c1])
+                z = cam[..., 2]
+                zs = jnp.maximum(z, 1e-6)
+                u = intrinsics[0, 0] * cam[..., 0] / zs + intrinsics[0, 2]
+                v = intrinsics[1, 1] * cam[..., 1] / zs + intrinsics[1, 2]
+                ui = jnp.floor(u + 0.5).astype(jnp.int32)
+                vi = jnp.floor(v + 0.5).astype(jnp.int32)
+                active = (
+                    jnp.arange(k * chunk, k * chunk + (c1 - c0), dtype=jnp.int32)
+                    < live
+                )
+                valid = (
+                    active
+                    & (z > max(near, 1e-3))
+                    & (z < far)
+                    & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+                )
+                pix = jnp.where(valid, vi * w + ui, 0)
+                zq = jnp.clip(
+                    (z - near) / (far - near) * 4095.0, 0, 4095
+                ).astype(jnp.uint32)
+                key = (zq << _POOL_IDX_BITS) | jnp.arange(
+                    c1 - c0, dtype=jnp.uint32
+                )
+                key = jnp.where(valid, key, sentinel)
+                return (
+                    jnp.full((h * w,), sentinel, jnp.uint32)
+                    .at[pix]
+                    .min(key, mode="drop")
+                )
 
-        win = jax.lax.cond(
-            (vol.pool_count > c0) & chunk_visible(ci),
-            scatter_chunk,
-            lambda: jnp.full((h * w,), sentinel, jnp.uint32),
-        )
-        if best is None:
-            best = win
-        else:
-            chunk_sel = jnp.where(win < best, ci, chunk_sel)
-            best = jnp.minimum(best, win)
+            win = jax.lax.cond(
+                (live > k * chunk) & visible[ci],
+                scatter_chunk,
+                lambda: jnp.full((h * w,), sentinel, jnp.uint32),
+            )
+            if best is None:
+                best = win
+            else:
+                chunk_sel = jnp.where(win < best, len(starts), chunk_sel)
+                best = jnp.minimum(best, win)
+            starts.append(c0)
     has = best != sentinel
     idx = jnp.where(
         has,
-        chunk_sel * chunk + (best & (MAX_POOL_CAPACITY - 1)).astype(jnp.int32),
+        jnp.asarray(starts, jnp.int32)[chunk_sel]
+        + (best & (MAX_POOL_CAPACITY - 1)).astype(jnp.int32),
         0,
     )
     # recompute the winners' depth from their voxel ids (z is no longer
@@ -809,7 +829,7 @@ def extract_points(vol: TSDFVolume, cfg: TSDFConfig, max_abs_tsdf: float = 1.0):
     |clipped sum| < max_abs_tsdf. Host-side; colors via `colorize_points`
     (gray if never colorized)."""
     flags = np.asarray(vol.flags).reshape(cfg.dims) != 0
-    g = np.asarray(vol.grid)
+    g = np.asarray(vol.grid).reshape(cfg.dims)
     mask = flags & (np.abs(np.clip(g, -1.0, 1.0)) < max_abs_tsdf + 1e-9)
     idx = np.argwhere(mask)
     pts = (idx + 0.5) * cfg.voxel_size + np.asarray(cfg.origin)

@@ -112,11 +112,16 @@ class SceneGenConfig:
     # voxel around the crossing (tests pin band-4 vs band-8 render parity)
     tsdf_band_voxels: Optional[int] = None
     # pool-splat render-chunk granularity (None = TSDFConfig default).
-    # Chunks beyond
-    # pool_count or outside the target frustum are cond-skipped, so a finer
-    # chunk sharpens both culls at a small per-chunk fixed cost; tune for
-    # large-pool scenes (google_earth's 0.01 m voxels -> multi-chunk pools)
+    # Sub-chunks beyond a cell's live count or in cells outside the target
+    # frustum are cond-skipped, so a finer chunk sharpens the fill-level
+    # cull at a small per-chunk fixed cost; tune for large-pool scenes
+    # (google_earth's 0.01 m voxels -> multi-cell pools)
     tsdf_render_chunk: Optional[int] = None
+    # spatial pool cells (None = auto): the surface pool is partitioned
+    # into per-slab ring allocators with static bounds, which is what lets
+    # the splat pay only for frustum-visible map regions — see
+    # mapping.tsdf.TSDFConfig.pool_cells
+    tsdf_pool_cells: Optional[int] = None
     raycast_samples: int = 192
     # map re-query renderer: 'splat' = O(surface pool) packed z-buffer (the
     # fast path); 'raycast' = classic ray marching (O(rays x samples))
@@ -207,6 +212,7 @@ def _tsdf_config(
             pool_recycle=cfg.tsdf_pool_recycle,
             integrate_stride=cfg.tsdf_integrate_stride,
             band_voxels=cfg.tsdf_band_voxels,
+            pool_cells=cfg.tsdf_pool_cells,
             **({} if cfg.tsdf_render_chunk is None
                else {"render_chunk": cfg.tsdf_render_chunk}),
         )
@@ -226,6 +232,7 @@ def _tsdf_config(
         band_voxels=cfg.tsdf_band_voxels,
         render_chunk=cfg.tsdf_render_chunk,
         pool_recycle=cfg.tsdf_pool_recycle,
+        pool_cells=cfg.tsdf_pool_cells,
     )
 
 

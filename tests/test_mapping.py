@@ -55,29 +55,34 @@ def test_integrate_then_rerender_recovers_plane():
 
 
 def test_pool_splat_frustum_culling_is_lossless():
-    """Chunk-bbox frustum culling must never change the rendered depth:
-    compare against the same volume with every chunk bbox widened to the
-    whole grid (nothing cullable). A camera turned 180 deg sees an empty
-    map either way."""
+    """Static-cell frustum culling must never change the rendered depth:
+    compare cull=True against cull=False on the SAME volume (a culled cell
+    can only contain points that project outside the image or outside
+    [near, far], which the per-point validity mask discards anyway). A
+    camera turned 180 deg sees an empty map either way. Multi-cell config:
+    the wall spans several slabs."""
+    from dataclasses import replace
+
     from sgam_neurips22_tpu.mapping.tsdf import _render_depth_splat
 
-    vol = create_volume(CFG)
+    cfg = replace(CFG, pool_cells=4, render_chunk=1 << 10)
+    vol = create_volume(cfg)
     depth, rgb = flat_wall_frame(3.0)
-    vol = integrate(vol, CFG, depth, rgb, K, jnp.eye(4))
-    d1 = np.asarray(_render_depth_splat(vol, CFG, K, jnp.eye(4), (H, W), 1.0, 5.0))
-    wide = vol.replace(
-        chunk_lo=jnp.zeros_like(vol.chunk_lo),
-        chunk_hi=jnp.broadcast_to(
-            jnp.asarray(CFG.dims, jnp.int32) - 1, vol.chunk_hi.shape
-        ),
+    vol = integrate(vol, cfg, depth, rgb, K, jnp.eye(4))
+    d1 = np.asarray(
+        _render_depth_splat(vol, cfg, K, jnp.eye(4), (H, W), 1.0, 5.0)
     )
-    d2 = np.asarray(_render_depth_splat(wide, CFG, K, jnp.eye(4), (H, W), 1.0, 5.0))
+    d2 = np.asarray(
+        _render_depth_splat(
+            vol, cfg, K, jnp.eye(4), (H, W), 1.0, 5.0, cull=False
+        )
+    )
     np.testing.assert_array_equal(d1, d2)
     assert (d1[16:32, 16:32] > 0).all()
 
     flip = np.diag([1.0, -1.0, -1.0, 1.0])  # look down -z: wall is behind
     d3 = np.asarray(
-        _render_depth_splat(vol, CFG, K, jnp.asarray(flip), (H, W), 1.0, 5.0)
+        _render_depth_splat(vol, cfg, K, jnp.asarray(flip), (H, W), 1.0, 5.0)
     )
     assert (d3 == 0).all()
 
@@ -362,24 +367,20 @@ def test_pool_capacity_beyond_packed_key_limit_chunks():
     big = TSDFConfig(
         dims=(64, 64, 64), voxel_size=0.1, sdf_trunc=0.4,
         origin=(-3.2, -3.2, 0.0), pool_capacity=MAX_POOL_CAPACITY + 4096,
+        pool_cells=1,  # one cell: its slot range spans multiple sub-chunks
     )
     vol = create_volume(big)
     d, rgb = flat_wall_frame(3.0)
     vol = integrate(vol, big, d, rgb, K, jnp.eye(4))
     n = int(vol.pool_count)
-    # move the pool entries into the second chunk
+    # move the pool entries beyond the packed-key index width (still inside
+    # cell 0, whose static bounds cover the whole volume)
     ids = np.asarray(vol.pool_ids)
     shifted = np.zeros_like(ids)
     shifted[MAX_POOL_CAPACITY : MAX_POOL_CAPACITY + n] = ids[:n]
-    # make grid observed around the surface regardless (already is)
-    # (the manual shift must move the frustum-culling bbox with the
-    # entries — integrate() maintains it per chunk)
-    ci = MAX_POOL_CAPACITY // big.chunk
     vol2 = vol.replace(
         pool_ids=jnp.asarray(shifted),
-        pool_count=jnp.asarray(MAX_POOL_CAPACITY + n, jnp.int32),
-        chunk_lo=vol.chunk_lo.at[ci].set(vol.chunk_lo[0]),
-        chunk_hi=vol.chunk_hi.at[ci].set(vol.chunk_hi[0]),
+        cell_counts=jnp.asarray([MAX_POOL_CAPACITY + n], jnp.int32),
     )
     r = np.asarray(
         _render_depth_splat(vol2, big, K, jnp.eye(4), (H, W), 1.0, 5.0)
@@ -387,6 +388,28 @@ def test_pool_capacity_beyond_packed_key_limit_chunks():
     center = r[16:32, 16:32]
     assert (center > 0).all()
     np.testing.assert_allclose(center, 3.0, atol=0.08)
+
+
+def test_multi_cell_render_matches_single_cell():
+    """Cell partitioning is a pure performance knob: the rendered depth
+    from a 4-cell / fine-sub-chunk pool equals the 1-cell / big-chunk pool
+    (identity pose: any packed-key tie candidates share a voxel z-layer, so
+    the decoded depth is layout-invariant)."""
+    from dataclasses import replace
+
+    d, rgb = flat_wall_frame(3.0)
+    d2, _ = flat_wall_frame(2.4)
+    outs = []
+    for cells, chunk in ((1, 1 << 18), (4, 1 << 10), (7, 300)):
+        cfg = replace(CFG, pool_cells=cells, render_chunk=chunk)
+        vol = create_volume(cfg)
+        for dd in (d, d2):
+            vol = integrate(vol, cfg, dd, rgb, K, jnp.eye(4))
+        outs.append(np.asarray(
+            render_depth(vol, cfg, K, jnp.eye(4), (H, W), near=1.0, far=5.0)
+        ))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
 
 
 def test_persistent_claim_dedup_exact_across_frames():
@@ -539,50 +562,38 @@ def test_pipeline_render_chunk_knob_plumbs_through():
     grid = _build_grid(cfg)
     tc = _tsdf_config(cfg, grid, (7.0, 16.0))
     assert tc.render_chunk == 1 << 14
-    assert tc.chunk == 1 << 14
+    # the effective sub-chunk is capped by the per-cell capacity
+    assert 0 < tc.chunk <= 1 << 14
+    assert tc.chunk == min(tc.cell_cap, 1 << 14)
 
 
-def test_chunk_bboxes_contain_their_pool_entries():
-    """Frustum-culling correctness rests on this invariant: every pooled
-    voxel's coordinates lie inside its render chunk's bbox, whatever the
-    chunk size and however frames straddle chunk boundaries.
-
-    The frames are flat walls at DISJOINT one-voxel z-slabs, so each frame's
-    bbox is tight and distinct: a bbox update routed to the wrong ring chunk
-    leaves that chunk's true occupants outside its bbox and fails containment
-    below. Full-frustum random depths would mask this (every frame-wide bbox
-    is near-global, so grow-only unions hide mis-routed updates).
-
-    The geometry is chosen to hit the historical desync exactly: chunk 1800
-    does not divide capacity 4096 (chunks [0,1800) [1800,3600) [3600,4096)),
-    and each 48x48 wall at depth >= 4.0 books exactly 2304 unique voxels
-    (pixel spacing d/f >= voxel size). Frame 2 then books ring 2304..4095
-    plus a WRAPPED tail at ring 0..511 — chunk 0 — while routing absolute
-    chunk ids via `% n_chunks` assigns the tail to absolute interval
-    [5400, 7200), which the frame never reaches: chunk 0 keeps only frame
-    1's z-slab and the tail voxels land outside it."""
+def test_cells_contain_their_pool_entries():
+    """Frustum-culling correctness rests on this invariant: every LIVE pool
+    entry of cell k is a voxel whose split-axis coordinate lies inside cell
+    k's static slab — through per-cell ring wraps, recycling, and sub-chunk
+    boundaries that do not divide the cell capacity. Frames are flat walls
+    at stepped depths (disjoint voxel slabs) so wraps churn every cell."""
     cfg = TSDFConfig(
         dims=(64, 64, 64), voxel_size=0.1, sdf_trunc=0.4,
-        origin=(-3.2, -3.2, 0.0), pool_capacity=1 << 12, render_chunk=1800,
+        origin=(-3.2, -3.2, 0.0), pool_capacity=1 << 12, render_chunk=300,
+        pool_cells=5,
     )
+    assert cfg.cell_cap % cfg.chunk != 0, "exercise a partial sub-chunk"
     vol = create_volume(cfg)
-    for d in (4.0, 4.3):
-        depth, rgb = flat_wall_frame(d)
+    for i in range(8):
+        depth, rgb = flat_wall_frame(3.4 + 0.35 * i)
         vol = integrate(vol, cfg, depth, rgb, K, jnp.eye(4))
-    # pool_count is the LIFETIME counter (ring position when recycling);
-    # live slots are min(count, capacity)
-    n = min(int(vol.pool_count), cfg.pool_capacity)
-    assert n > cfg.chunk, "test must span multiple chunks"
-    assert int(vol.pool_count) > cfg.pool_capacity, "test must wrap the ring"
-    ids = np.asarray(vol.pool_ids)[:n]
+    counts = np.asarray(vol.cell_counts)
+    assert (counts > cfg.cell_cap).any(), "test must wrap at least one cell"
+    ids = np.asarray(vol.pool_ids)
+    bounds = cfg.cell_bounds()
     x, y, z = cfg.dims
-    vx = ids // (y * z)
-    vy = (ids // z) % y
-    vz = ids % z
-    g = np.stack([vx, vy, vz], axis=-1)
-    lo = np.asarray(vol.chunk_lo)
-    hi = np.asarray(vol.chunk_hi)
-    for ci in range(-(-n // cfg.chunk)):
-        sl = g[ci * cfg.chunk : min((ci + 1) * cfg.chunk, n)]
-        assert (sl >= lo[ci]).all(), f"chunk {ci} bbox lo violated"
-        assert (sl <= hi[ci]).all(), f"chunk {ci} bbox hi violated"
+    checked = 0
+    for ci in range(cfg.n_cells):
+        live = min(int(counts[ci]), cfg.cell_cap)
+        sl = ids[ci * cfg.cell_cap : ci * cfg.cell_cap + live]
+        ax = sl // (y * z)  # split axis of (64,64,64) is axis 0
+        lo, hi = bounds[ci]
+        assert (ax >= lo).all() and (ax < hi).all(), f"cell {ci}"
+        checked += live
+    assert checked > cfg.pool_capacity // 2, "most slots must be live"

@@ -25,15 +25,13 @@ def sphere_volume(n=48, radius=1.0):
     # nudge exact zeros (weight == grid != 0 means observed) off zero.
     tsdf = np.where(tsdf == 0.0, 1e-6, tsdf)
     vol = TSDFVolume(
-        grid=tsdf,
+        grid=tsdf.reshape(-1),
         flags=np.zeros(n * n * n, np.uint8),
-        pool_ids=np.zeros(cfg.pool_capacity, np.int32),
-        pool_count=np.zeros((), np.int32),
+        pool_ids=np.zeros(cfg.capacity, np.int32),
+        cell_counts=np.zeros(cfg.n_cells, np.int32),
         stats=np.zeros(4, np.float32),
         frame=np.zeros((), np.int32),
         claim=np.zeros(n * n * n, np.int32),
-        chunk_lo=np.full((cfg.n_chunks, 3), 1 << 30, np.int32),
-        chunk_hi=np.full((cfg.n_chunks, 3), -1, np.int32),
     )
     return vol, cfg
 
