@@ -101,13 +101,19 @@ def extract_mesh(
     lib = _load_lib()
     tsdf = np.ascontiguousarray(np.asarray(volume.tsdf), np.float32)
     weight = np.ascontiguousarray(np.asarray(volume.weight), np.float32)
+    # the flat arrays are laid out per cfg.axis_order; hand the extractor
+    # the LAYOUT-order dims/origin and unpermute the vertex coords after
+    order = tuple(getattr(cfg, "axis_order", (0, 1, 2)))
     has_color = color_grid is not None
     if has_color:
-        color = np.ascontiguousarray(color_grid, np.float32)
+        color = np.ascontiguousarray(
+            np.transpose(np.asarray(color_grid), tuple(order) + (3,)),
+            np.float32,
+        )
     else:
         color = np.zeros(1, np.float32)
-    x, y, z = cfg.dims
-    ox, oy, oz = cfg.origin
+    x, y, z = (cfg.dims[a] for a in order)
+    ox, oy, oz = (cfg.origin[a] for a in order)
     empty = np.zeros(1, np.float32)
     n = lib.tsdf_extract_mesh(
         _fp(tsdf), _fp(weight), _fp(color), x, y, z,
@@ -130,6 +136,8 @@ def extract_mesh(
         int(has_color),
     )
     assert n2 >= n
+    if order != (0, 1, 2):
+        verts = np.ascontiguousarray(verts[..., np.argsort(order)])
     return verts, cols
 
 

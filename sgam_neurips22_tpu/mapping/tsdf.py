@@ -113,6 +113,29 @@ class TSDFConfig:
     # and the cull died — the google_earth map-requery regression.)
     # None = one cell per render_chunk's worth of capacity, capped at 64.
     pool_cells: Optional[int] = None
+    # memory LAYOUT of the flat grid/flags/claim arrays: linear index
+    # (g[o0] * D[o1] + g[o1]) * D[o2] + g[o2]. Purely a performance knob —
+    # values are identical for any order — but it decides whether
+    # integrate's scatters stream or thrash: candidates arrive in image
+    # scanline order, so the INNERMOST axis (o2) should be the world axis
+    # the camera's u-axis sweeps. With the default identity order the
+    # google_earth volume put that axis OUTERMOST (stride 739k elements =
+    # 3 MB between adjacent pixels' voxels: every scatter element a
+    # TLB/row miss, ~90 ns each vs the ~9 ns streaming floor).
+    # auto_config derives it from the trajectory's camera axes.
+    axis_order: Tuple[int, int, int] = (0, 1, 2)
+    # claim-table size = min(n_voxels, 2^claim_bits). The claim's only job
+    # is in-frame pool dedup (generation-keyed; see integrate), so it does
+    # not need per-voxel addressing: volumes beyond 2^claim_bits voxels
+    # HASH voxel ids into the table (Knuth multiplicative). A hash collision
+    # merely defers one colliding candidate's pool entry to a later frame
+    # (~65k candidates into 2^24 buckets: ~100 colliding pairs per frame,
+    # ~0.2% of entries; the TSDF field itself is always exact). The win is
+    # memory AND scatter latency: the google_earth volume's per-voxel claim
+    # was 1.76 GB and its 65k-element claim scatter ran ~90 ns/element
+    # (DRAM page misses); a 67 MB table brings it near the ~10-20 ns
+    # small-array floor. Raise to 32+ for exact dedup on any volume.
+    claim_bits: int = 24
 
     def __post_init__(self):
         if int(np.prod(self.dims)) >= 2**31:
@@ -130,6 +153,8 @@ class TSDFConfig:
                 f"pool_cells {self.pool_cells} not in [1, "
                 f"dims[{self.split_axis}]={self.dims[self.split_axis]}]"
             )
+        if tuple(sorted(self.axis_order)) != (0, 1, 2):
+            raise ValueError(f"axis_order {self.axis_order} is not a permutation")
 
     @property
     def split_axis(self) -> int:
@@ -181,6 +206,35 @@ class TSDFConfig:
         """Effective truncation distance = fused band extent."""
         return self.band * self.voxel_size
 
+    @property
+    def claim_size(self) -> int:
+        return min(int(np.prod(self.dims)), 1 << self.claim_bits)
+
+    def claim_index(self, lin: jnp.ndarray) -> jnp.ndarray:
+        """Voxel linear id -> claim-table slot (identity when the volume
+        fits the table; Knuth multiplicative hash beyond)."""
+        if int(np.prod(self.dims)) <= self.claim_size:
+            return lin
+        h = lin.astype(jnp.uint32) * jnp.uint32(2654435761)
+        return (h >> jnp.uint32(32 - self.claim_bits)).astype(jnp.int32)
+
+    def lin_index(self, g: jnp.ndarray) -> jnp.ndarray:
+        """Voxel coords [..., 3] (world axis order) -> flat index, laid out
+        per `axis_order`."""
+        o0, o1, o2 = self.axis_order
+        d = self.dims
+        return (g[..., o0] * d[o1] + g[..., o1]) * d[o2] + g[..., o2]
+
+    def unlin_index(self, lin: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """Flat index -> (x, y, z) voxel coords in WORLD axis order."""
+        o0, o1, o2 = self.axis_order
+        d = self.dims
+        c = [None, None, None]
+        c[o2] = lin % d[o2]
+        c[o1] = (lin // d[o2]) % d[o1]
+        c[o0] = lin // (d[o1] * d[o2])
+        return tuple(c)
+
 
 @struct.dataclass
 class TSDFVolume:
@@ -207,7 +261,9 @@ class TSDFVolume:
     # no per-frame O(volume) memset is needed (a fresh 30M-int32 claim grid
     # cost ~0.8 ms/frame); stale keys from earlier frames always lose the max
     frame: jnp.ndarray  # [] int32 frames integrated so far
-    claim: jnp.ndarray  # [X*Y*Z] int32 generation-keyed claim entries
+    # [cfg.claim_size] int32 generation-keyed claim entries (hashed voxel
+    # ids when the volume exceeds 2^claim_bits voxels; see TSDFConfig)
+    claim: jnp.ndarray
 
     @property
     def pool_count(self) -> jnp.ndarray:
@@ -236,7 +292,7 @@ def create_volume(cfg: TSDFConfig) -> TSDFVolume:
         cell_counts=jnp.zeros(cfg.n_cells, jnp.int32),
         stats=jnp.zeros(4, jnp.float32),
         frame=jnp.zeros((), jnp.int32),
-        claim=jnp.zeros(x * y * z, jnp.int32),
+        claim=jnp.zeros(cfg.claim_size, jnp.int32),
     )
 
 
@@ -298,8 +354,8 @@ def auto_config(
     while True:
         dims = np.maximum(np.ceil((hi_b - lo_b) / vox).astype(int), 4)
         n_vox = int(np.prod(dims))
-        # grid f32 + flags u8 + persistent claim grid i32 (integrate dedup)
-        mem = n_vox * (4 + 1 + 4)
+        # grid f32 + flags u8 + claim table i32 (hash-capped at 2^24 slots)
+        mem = n_vox * (4 + 1) + min(n_vox, 1 << 24) * 4
         if mem <= mem_cap_bytes and n_vox < 2**31:
             break
         vox *= 2 ** (1.0 / 3.0)
@@ -322,6 +378,17 @@ def auto_config(
         pool_capacity = int(
             np.clip(6 * max(faces), 1 << 16, 4 * MAX_POOL_CAPACITY)
         )
+    # memory layout from the trajectory's camera frame: innermost axis = the
+    # world axis the image u-axis sweeps (scanline-adjacent integrate
+    # candidates become memory-adjacent), middle = the v-swept axis, outer =
+    # the remainder (~the view direction for a downward camera). See
+    # TSDFConfig.axis_order.
+    r_mean = np.mean([c[:3, :3] for c in np.asarray(c2ws, np.float64)], axis=0)
+    o2 = int(np.argmax(np.abs(r_mean[:, 0])))  # u axis
+    v_abs = np.abs(r_mean[:, 1]).copy()
+    v_abs[o2] = -1.0
+    o1 = int(np.argmax(v_abs))
+    o0 = 3 - o1 - o2
     extra = {} if render_chunk is None else {"render_chunk": render_chunk}
     return TSDFConfig(
         dims=tuple(int(d) for d in dims),
@@ -333,6 +400,7 @@ def auto_config(
         integrate_stride=integrate_stride,
         pool_recycle=pool_recycle,
         pool_cells=pool_cells,
+        axis_order=(o0, o1, o2),
         **extra,
     )
 
@@ -403,7 +471,7 @@ def integrate(
         & (g[..., 2] >= 0) & (g[..., 2] < dims[2])
     )
     ok = valid[..., None] & inb & (zs > 0)
-    lin = (g[..., 0] * dims[1] + g[..., 1]) * dims[2] + g[..., 2]
+    lin = cfg.lin_index(g)
     lin = jnp.where(ok, lin, 0)
     # sdf at a sample z along the ray is (measured_depth - z) = -offset:
     # constant per band slot.
@@ -411,7 +479,13 @@ def integrate(
     # masked samples contribute exactly 0.0 at index 0 — a value no-op, so no
     # scatter mode="drop" bookkeeping is needed.
     vals = contrib_t * ok.astype(jnp.float32)  # [H, W, K2]
-    grid = vol.grid.at[lin.reshape(-1)].add(vals.reshape(-1))
+    # scatter with the BAND axis outermost: consecutive scatter elements are
+    # then neighboring pixels' voxels at the same band slot — memory-adjacent
+    # under the u-aligned axis_order — instead of one ray's 6 band samples
+    # striding ~X elements apart
+    grid = vol.grid.at[
+        jnp.moveaxis(lin, -1, 0).reshape(-1)
+    ].add(jnp.moveaxis(vals, -1, 0).reshape(-1))
 
     # --- telemetry: did the valid samples land inside the volume?
     center_ok = ok[..., band - 1] | ok[..., band]
@@ -438,8 +512,12 @@ def integrate(
     pos = jnp.arange(cand.shape[0], dtype=jnp.int32)
     fkey = jnp.minimum(vol.frame + 1, CLAIM_MAX_FRAMES)  # no int32 overflow
     own = (fkey << _CLAIM_POS_BITS) | (pmask - pos)
-    claim = vol.claim.at[cand].max(jnp.where(cand_ok, own, 0))
-    first = cand_ok & (claim[cand] == own)
+    # hashed claim slot on volumes beyond 2^claim_bits voxels (identity
+    # otherwise): a collision defers one candidate's pool entry to a later
+    # frame — the fused field above is exact either way (TSDFConfig).
+    cslot = cfg.claim_index(cand)
+    claim = vol.claim.at[cslot].max(jnp.where(cand_ok, own, 0))
+    first = cand_ok & (claim[cslot] == own)
     new = first & (vol.flags[cand] == 0)
 
     # --- spatial-cell slot allocation: a candidate voxel always books a
@@ -527,8 +605,7 @@ def _sample_grid(vol: TSDFVolume, cfg: TSDFConfig, pts: jnp.ndarray, interp: str
         # traced at ~17 ns/sample (refine step, NOTES.md) vs the ~9 ns/elem
         # scalar-gather floor that 1-D index arithmetic achieves elsewhere
         # (integrate/pool paths); identical values either way
-        lin = (gc[..., 0] * cfg.dims[1] + gc[..., 1]) * cfg.dims[2] + gc[..., 2]
-        v = vol.grid[lin]
+        v = vol.grid[cfg.lin_index(gc)]
         return v, inb & (v != 0.0)
     # trilinear over the sum field
     g = (pts - jnp.asarray(cfg.origin)) / cfg.voxel_size - 0.5
@@ -544,10 +621,7 @@ def _sample_grid(vol: TSDFVolume, cfg: TSDFConfig, pts: jnp.ndarray, interp: str
                 idx = g0 + jnp.asarray([dx, dy, dz])
                 inb = jnp.all((idx >= 0) & (idx < dims), axis=-1)
                 ic = jnp.clip(idx, 0, dims - 1)
-                v = flat[
-                    (ic[..., 0] * cfg.dims[1] + ic[..., 1]) * cfg.dims[2]
-                    + ic[..., 2]
-                ]
+                v = flat[cfg.lin_index(ic)]
                 wgt = (
                     jnp.where(dx, frac[..., 0], 1 - frac[..., 0])
                     * jnp.where(dy, frac[..., 1], 1 - frac[..., 1])
@@ -589,9 +663,7 @@ def _render_depth_splat(
 
     def cam_coords(idc: jnp.ndarray) -> jnp.ndarray:
         """Linear voxel ids -> camera-frame coordinates of voxel centers."""
-        vz = idc % dims[2]
-        vy = (idc // dims[2]) % dims[1]
-        vx = idc // (dims[1] * dims[2])
+        vx, vy, vz = cfg.unlin_index(idc)
         centers = (
             jnp.stack([vx, vy, vz], axis=-1).astype(jnp.float32) + 0.5
         ) * cfg.voxel_size + jnp.asarray(cfg.origin)
@@ -828,10 +900,14 @@ def extract_points(vol: TSDFVolume, cfg: TSDFConfig, max_abs_tsdf: float = 1.0):
     band samples straddling a measured depth), optionally filtered to
     |clipped sum| < max_abs_tsdf. Host-side; colors via `colorize_points`
     (gray if never colorized)."""
-    flags = np.asarray(vol.flags).reshape(cfg.dims) != 0
-    g = np.asarray(vol.grid).reshape(cfg.dims)
+    o = cfg.axis_order
+    layout_dims = tuple(cfg.dims[a] for a in o)
+    flags = np.asarray(vol.flags).reshape(layout_dims) != 0
+    g = np.asarray(vol.grid).reshape(layout_dims)
     mask = flags & (np.abs(np.clip(g, -1.0, 1.0)) < max_abs_tsdf + 1e-9)
-    idx = np.argwhere(mask)
+    idx = np.argwhere(mask)  # coords in LAYOUT order -> back to world order
+    inv = np.argsort(o)
+    idx = idx[:, inv]
     pts = (idx + 0.5) * cfg.voxel_size + np.asarray(cfg.origin)
     cols = np.full((len(pts), 3), 0.5, np.float32)
     return pts.astype(np.float32), cols

@@ -65,10 +65,19 @@ from sgam_neurips22_tpu.pipeline.trajectory import (
 
 # reference num_src defaults (inference_pipeline.py:68,90)
 DEFAULT_NUM_SRC = {"clevr-infinite": 5, "google_earth": 3}
-# reference TSDF parameters (inference_pipeline.py:120-131)
+# reference TSDF parameters (inference_pipeline.py:120-131). google_earth
+# additionally caps the surface pool at 2^20 slots: its forward 100x1
+# trajectory never re-queries surface behind the camera and its true
+# converged surface is ~0.3-0.5M voxels (0.01 m voxels over ~24 m^2 of
+# terrain), so with ring recycling a 1M-slot cache holds the whole live
+# map with >=2x headroom — while the splat cost (linear in capacity) stays
+# bounded even under worst-case (random-weight) depth noise. Override with
+# tsdf_pool_capacity.
 DEFAULT_TSDF = {
     "clevr-infinite": dict(voxel_size=0.05, sdf_trunc=0.5),
-    "google_earth": dict(voxel_size=0.01, sdf_trunc=0.03),
+    "google_earth": dict(
+        voxel_size=0.01, sdf_trunc=0.03, pool_capacity=1 << 20
+    ),
 }
 
 
@@ -208,7 +217,8 @@ def _tsdf_config(
             voxel_size=base["voxel_size"],
             sdf_trunc=base["sdf_trunc"],
             origin=origin,
-            pool_capacity=cfg.tsdf_pool_capacity or (1 << 19),
+            pool_capacity=cfg.tsdf_pool_capacity
+            or base.get("pool_capacity", 1 << 19),
             pool_recycle=cfg.tsdf_pool_recycle,
             integrate_stride=cfg.tsdf_integrate_stride,
             band_voxels=cfg.tsdf_band_voxels,
@@ -227,7 +237,7 @@ def _tsdf_config(
         voxel_size=base["voxel_size"],
         sdf_trunc=base["sdf_trunc"],
         mem_cap_bytes=cfg.tsdf_mem_cap_gb * 1e9,
-        pool_capacity=cfg.tsdf_pool_capacity,
+        pool_capacity=cfg.tsdf_pool_capacity or base.get("pool_capacity"),
         integrate_stride=cfg.tsdf_integrate_stride,
         band_voxels=cfg.tsdf_band_voxels,
         render_chunk=cfg.tsdf_render_chunk,
@@ -375,23 +385,30 @@ class InfiniteSceneGeneration:
         return rgb[0], depth[0], cond.x, cond.extrapolation_mask
 
     def _splat_core_batched(
-        self, params, rgb_bufs, depth_bufs, src_idx, src_mask, r_rels, t_rels, ks, rng
+        self, params, rgb_flat, depth_flat, n_scenes, src_idx, src_mask, r_rels, t_rels, ks, rng
     ):
         """One generation step for S scenes at once: the model sees batch S
         (MXU-efficient) and the splat scatters the whole batch in one pass.
 
         Args:
-          rgb_bufs: [S, G, H, W, 3]; depth_bufs: [S, G, H, W]; the plan
+          rgb_flat: [S * G, H, W, 3]; depth_flat: [S * G, H, W] — the scene
+          axis stays FOLDED into the frame axis so the per-step source read
+          is a LEADING-axis gather (fast path). The round-3 layout gathered
+          the middle axis of [S, G, H, W, 3] (`rgb_bufs[:, src_idx]`), which
+          XLA lowered badly enough that 8 batched scenes ran SLOWER in
+          aggregate than one (NOTES.md round-3 measurement); the plan
           entries (src_idx etc.) are shared across scenes.
         """
-        s = rgb_bufs.shape[0]
+        s = n_scenes
+        g = rgb_flat.shape[0] // s
         h, w = self.cfg.image_resolution
         n = src_idx.shape[0]
+        flat_idx = (jnp.arange(s, dtype=src_idx.dtype) * g)[:, None] + src_idx[None]
         batch = {
             "dst_img": jnp.zeros((s, h, w, 3), jnp.float32),
             "dst_depth": jnp.full((s, h, w), self.codec.depth_range[0], jnp.float32),
-            "src_imgs": rgb_bufs[:, src_idx],
-            "src_depths": depth_bufs[:, src_idx],
+            "src_imgs": rgb_flat[flat_idx],
+            "src_depths": depth_flat[flat_idx],
             "Ks": jnp.broadcast_to(ks[None], (s, n, 3, 3)),
             "R_rels": jnp.broadcast_to(r_rels[None], (s, n, 3, 3)),
             "t_rels": jnp.broadcast_to(t_rels[None], (s, n, 3)),
@@ -530,29 +547,32 @@ class InfiniteSceneGeneration:
 
         return jax.lax.fori_loop(0, t_total, body, (rgb_buf, depth_buf))
 
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(2, 3))
-    def _fused_unroll_batched(self, params, rgb_bufs, depth_bufs, plan, ks, rng):
+    @partial(jax.jit, static_argnames=("self", "n_scenes"), donate_argnums=(2, 3))
+    def _fused_unroll_batched(self, params, rgb_flat, depth_flat, n_scenes, plan, ks, rng):
         """S scenes unrolled concurrently as one compiled program: each step
         runs the model at batch S and one whole-batch splat (NOT vmap over
         the single-scene unroll, which serializes every scatter/gather —
-        measured 28 fps aggregate for 2 scenes in round 1 vs 81.9 for one)."""
+        measured 28 fps aggregate for 2 scenes in round 1 vs 81.9 for one).
+        Buffers stay flat [S * G, ...]; see _splat_core_batched."""
         t_total = plan["tgt"].shape[0]
+        g = rgb_flat.shape[0] // n_scenes
+        scene_base = jnp.arange(n_scenes, dtype=jnp.int32) * g
 
         def body(t, carry):
-            rgb_bufs, depth_bufs = carry
+            rgb_flat, depth_flat = carry
             rgb, depth = self._splat_core_batched(
-                params, rgb_bufs, depth_bufs,
+                params, rgb_flat, depth_flat, n_scenes,
                 plan["src_idx"][t], plan["src_mask"][t],
                 plan["r_rels"][t], plan["t_rels"][t], ks,
                 jax.random.fold_in(rng, t),
             )
-            tgt = plan["tgt"][t]
+            tgt = scene_base + plan["tgt"][t]
             return (
-                rgb_bufs.at[:, tgt].set(rgb),
-                depth_bufs.at[:, tgt].set(depth),
+                rgb_flat.at[tgt].set(rgb),
+                depth_flat.at[tgt].set(depth),
             )
 
-        return jax.lax.fori_loop(0, t_total, body, (rgb_bufs, depth_bufs))
+        return jax.lax.fori_loop(0, t_total, body, (rgb_flat, depth_flat))
 
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(2, 3, 4))
     def _fused_unroll_tsdf(self, params, rgb_buf, depth_buf, volume, plan, ks, rng):
@@ -620,6 +640,11 @@ class InfiniteSceneGeneration:
         # the full [S, G, H, W, 3] buffer on the host costs a ~full-buffer
         # host->device transfer per run (measured ~4 s for 8 scenes of 49
         # frames through the remote-TPU tunnel — half the unroll wall time)
+        # buffers are FLAT [S*G, ...] through the whole unroll (the scene
+        # axis folded into the frame axis) so the per-step source gather is
+        # a leading-axis gather; see _splat_core_batched. A scene's frames
+        # are contiguous, so sharding the flat axis over 'data' places whole
+        # scenes per device exactly like sharding [S, G, ...] on axis 0.
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -631,26 +656,30 @@ class InfiniteSceneGeneration:
             from sgam_neurips22_tpu.parallel.mesh import replicate
 
             self.params = replicate(self.params, mesh)
-            rgb_bufs = jax.device_put(
-                jnp.zeros((s, g, h, w, 3), jnp.float32), scene_sh
+            rgb_flat = jax.device_put(
+                jnp.zeros((s * g, h, w, 3), jnp.float32), scene_sh
             )
-            depth_bufs = jax.device_put(
-                jnp.zeros((s, g, h, w), jnp.float32), scene_sh
+            depth_flat = jax.device_put(
+                jnp.zeros((s * g, h, w), jnp.float32), scene_sh
             )
         else:
-            rgb_bufs = jnp.zeros((s, g, h, w, 3), jnp.float32)
-            depth_bufs = jnp.zeros((s, g, h, w), jnp.float32)
+            rgb_flat = jnp.zeros((s * g, h, w, 3), jnp.float32)
+            depth_flat = jnp.zeros((s * g, h, w), jnp.float32)
         for si, seeds in enumerate(seeds_batch):
             for coord, rgb, depth in seeds:
-                idx = self.grid.index(*coord)
-                rgb_bufs = rgb_bufs.at[si, idx].set(jnp.asarray(rgb))
-                depth_bufs = depth_bufs.at[si, idx].set(jnp.asarray(depth))
+                idx = si * g + self.grid.index(*coord)
+                rgb_flat = rgb_flat.at[idx].set(jnp.asarray(rgb))
+                depth_flat = depth_flat.at[idx].set(jnp.asarray(depth))
         plan = self.build_plan()
         ks = jnp.asarray(
             np.tile(self.grid.K.astype(np.float32), (self.cfg.effective_num_src, 1, 1))
         )
-        return self._fused_unroll_batched(
-            self.params, rgb_bufs, depth_bufs, plan, ks, rng,
+        rgb_flat, depth_flat = self._fused_unroll_batched(
+            self.params, rgb_flat, depth_flat, s, plan, ks, rng,
+        )
+        return (
+            rgb_flat.reshape(s, g, h, w, 3),
+            depth_flat.reshape(s, g, h, w),
         )
 
     def scene_expansion(

@@ -567,6 +567,36 @@ def test_pipeline_render_chunk_knob_plumbs_through():
     assert tc.chunk == min(tc.cell_cap, 1 << 14)
 
 
+def test_axis_order_is_output_invariant():
+    """`axis_order` is a pure memory-layout knob (scatter/gather locality):
+    rendered depth and the extracted point cloud must be identical for any
+    permutation."""
+    from dataclasses import replace
+
+    base = TSDFConfig(
+        dims=(48, 64, 52), voxel_size=0.1, sdf_trunc=0.4,
+        origin=(-3.2, -3.2, 0.0), pool_capacity=6000, render_chunk=700,
+        pool_cells=6,
+    )
+    outs = []
+    for order in ((0, 1, 2), (2, 1, 0), (1, 2, 0)):
+        cfg = replace(base, axis_order=order)
+        vol = create_volume(cfg)
+        for d in (3.0, 2.5, 3.5):
+            depth, rgb = flat_wall_frame(d)
+            vol = integrate(vol, cfg, depth, rgb, K, jnp.eye(4))
+        r = np.asarray(
+            render_depth(vol, cfg, K, jnp.eye(4), (H, W), near=1.0, far=5.0)
+        )
+        pts, _ = extract_points(vol, cfg)
+        pts = np.ascontiguousarray(pts)
+        outs.append((r, pts[np.lexsort(pts.T)]))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    np.testing.assert_array_equal(outs[0][0], outs[2][0])
+    np.testing.assert_allclose(outs[0][1], outs[1][1])
+    np.testing.assert_allclose(outs[0][1], outs[2][1])
+
+
 def test_cells_contain_their_pool_entries():
     """Frustum-culling correctness rests on this invariant: every LIVE pool
     entry of cell k is a voxel whose split-axis coordinate lies inside cell
