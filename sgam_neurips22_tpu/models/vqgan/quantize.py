@@ -14,10 +14,13 @@ its own distribution; `topk=1` is deterministic argmin in both codebases so
 the parity mode (the inference CLI default) is unaffected.
 
 A fused Pallas distance+argmin kernel for large codebooks lives in
-ops/vq_pallas.py; this module is the XLA reference implementation.
+ops/vq_pallas.py, selectable via SGAM_TPU_VQ_PALLAS=1 (see
+`_use_vq_pallas` for the measured default); this module is the XLA
+reference implementation.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -56,6 +59,41 @@ def codeword_distances(z_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarra
     )
 
 
+def _use_vq_pallas() -> bool:
+    """Opt-in Pallas fused nearest-codeword search (SGAM_TPU_VQ_PALLAS=1).
+
+    Measured on v5e (tools/bench_vq_pallas.py, NOTES.md round 4): indices
+    match the XLA path 1.0000 at every production shape (the kernel's
+    bf16x3 contraction reproduces XLA's HIGHEST-precision algorithm), and
+    the op itself is ~1.5x faster at the flagship inference shape (P=256,
+    K=16384, D=256: ~1.0 ms vs ~1.5 ms) with O(P) instead of O(P*K) HBM
+    traffic. But the op is ~1 ms inside a ~10 ms frame, so the end-to-end
+    flythrough is unchanged within noise — it stays opt-in rather than
+    default (off-TPU it would run in slow interpret mode, and default-on
+    would put an unexercised Mosaic compile in every user's first run)."""
+    flag = os.environ.get("SGAM_TPU_VQ_PALLAS")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    return False
+
+
+def nearest_codeword_indices(z_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """argmin_k ||z - e_k||^2 per row: the production nearest-codeword
+    search (reference quantize.py:285-289). Dispatches to the fused Pallas
+    kernel on TPU when SGAM_TPU_VQ_PALLAS=1, else one XLA distance matmul
+    + argmin."""
+    if _use_vq_pallas():
+        from sgam_neurips22_tpu.ops.vq_pallas import nearest_codeword
+
+        # off-TPU the kernel runs in Pallas interpret mode (slow but
+        # correct) so the flag stays testable on the CPU mesh
+        idx, _ = nearest_codeword(
+            z_flat, codebook, interpret=jax.default_backend() != "tpu"
+        )
+        return idx
+    return jnp.argmin(codeword_distances(z_flat, codebook), axis=1).astype(jnp.int32)
+
+
 def quantize(
     codebook: jnp.ndarray,
     z: jnp.ndarray,
@@ -70,8 +108,7 @@ def quantize(
     """
     b, h, w, d = z.shape
     if encoding_indices is None:
-        dist = codeword_distances(z.reshape(-1, d), codebook)
-        indices = jnp.argmin(dist, axis=1).reshape(b, h, w)
+        indices = nearest_codeword_indices(z.reshape(-1, d), codebook).reshape(b, h, w)
     else:
         indices = encoding_indices
     z_q = codebook[indices].astype(z.dtype)
@@ -130,17 +167,17 @@ def quantize_topk(
         False = each position samples from its own distribution.
     """
     b, h, w, d = z.shape
-    dist = codeword_distances(z.reshape(-1, d), codebook)  # [P, K]
     if topk == 1:
         # single-candidate distribution == argmin: skip the (expensive)
         # top_k sort over K and the categorical draw entirely. This is the
         # inference CLI's default parity mode (reference
         # inference_pipeline.py:24 topk=1).
-        idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        idx = nearest_codeword_indices(z.reshape(-1, d), codebook)
         sampled = jnp.broadcast_to(idx[:, None], (idx.shape[0], sample_number))
         sampled = sampled.reshape(b, h, w, sample_number)
         z_q = jnp.moveaxis(codebook[sampled].astype(z.dtype), 3, 1)
         return TopKSampleResult(z_q=z_q, indices=jnp.moveaxis(sampled, 3, 1).astype(jnp.int32))
+    dist = codeword_distances(z.reshape(-1, d), codebook)  # [P, K]
     neg_topk, top_idx = jax.lax.top_k(-dist, topk)  # [P, k] nearest first
     if position0_bug:
         # reference :353,:358: temperature fixed at 1; every position's slot

@@ -101,6 +101,10 @@ class SceneGenConfig:
     # splat scatter is the conditioning's serial-floor cost and scales 1/s^2.
     # 1 = reference behavior.
     splat_stride: int = 1
+    # TSDF voxel edge in world units (None = the per-dataset reference
+    # default, inference_pipeline.py:121-131 — 0.05 CLEVR / 0.01 GE); the
+    # reference's ScalableTSDFVolume takes voxel_length the same way
+    tsdf_voxel_size: Optional[float] = None
     # TSDF volume: None = auto-size/place from the trajectory ∪ frustum hull
     # (mapping.tsdf.auto_config); set both dims+origin for manual placement
     tsdf_dims: Optional[Tuple[int, int, int]] = None
@@ -131,6 +135,14 @@ class SceneGenConfig:
     # the splat pay only for frustum-visible map regions — see
     # mapping.tsdf.TSDFConfig.pool_cells
     tsdf_pool_cells: Optional[int] = None
+    # Bench/eval mode (VERDICT r3 #6): replace the GENERATED depth with the
+    # analytic z-depth of a fixed world plane (placed along the first
+    # camera's axis at mid depth-range). Every frame's depth then agrees
+    # with every other frame's, so TSDF fusion deduplicates and the surface
+    # pool converges — the behavior trained weights produce — while the
+    # full model still runs every step (its RGB is kept; only the depth
+    # channel is overridden), so the measured cost is the production graph.
+    coherent_plane_depth: bool = False
     raycast_samples: int = 192
     # map re-query renderer: 'splat' = O(surface pool) packed z-buffer (the
     # fast path); 'raycast' = classic ray marching (O(rays x samples))
@@ -200,7 +212,15 @@ def _build_grid(cfg: SceneGenConfig, intrinsics=None) -> PoseGrid:
 def _tsdf_config(
     cfg: SceneGenConfig, grid: PoseGrid, depth_range: Tuple[float, float]
 ) -> TSDFConfig:
-    base = DEFAULT_TSDF[cfg.dataset]
+    base = dict(DEFAULT_TSDF[cfg.dataset])
+    if cfg.tsdf_voxel_size is not None:
+        base["voxel_size"] = cfg.tsdf_voxel_size
+        # keep the reference's trunc/voxel ratio when only voxel is given
+        base["sdf_trunc"] = (
+            cfg.tsdf_voxel_size
+            * DEFAULT_TSDF[cfg.dataset]["sdf_trunc"]
+            / DEFAULT_TSDF[cfg.dataset]["voxel_size"]
+        )
     # surface the stride/resolution guidance BEFORE any compilation
     # (integrate() would otherwise raise at trace time, deep in the unroll)
     validate_ray_budget(cfg.image_resolution, cfg.tsdf_integrate_stride)
@@ -275,8 +295,34 @@ class InfiniteSceneGeneration:
         if cfg.use_rgbd_integration:
             self.tsdf_cfg = _tsdf_config(cfg, self.grid, self.codec.depth_range)
             self.volume = create_volume(self.tsdf_cfg)
+        if cfg.coherent_plane_depth:
+            # world plane along the first camera's viewing axis at mid
+            # depth-range (see SceneGenConfig.coherent_plane_depth)
+            c2w0 = self.grid.c2w(0)
+            n_w = c2w0[:3, 2] / np.linalg.norm(c2w0[:3, 2])
+            d_mid = float(np.mean(self.codec.depth_range))
+            self._plane_n = jnp.asarray(n_w, jnp.float32)
+            self._plane_d = jnp.asarray(
+                float(n_w @ (c2w0[:3, 3] + d_mid * n_w)), jnp.float32
+            )
         self._seeds = seeds
         self.reset()
+
+    def plane_depth_at(self, idx: int) -> np.ndarray:
+        """[H, W] analytic coherent-plane z-depth at grid pose `idx`
+        (coherent_plane_depth mode; used to build consistent seed frames)."""
+        from sgam_neurips22_tpu.geometry.camera import plane_z_depth
+
+        lo, hi = self.codec.depth_range
+        return np.asarray(
+            plane_z_depth(
+                jnp.asarray(self.grid.K, jnp.float32),
+                jnp.asarray(self.grid.w2c(idx), jnp.float32),
+                self._plane_n, self._plane_d,
+                self.cfg.image_resolution,
+                max(lo * 0.5, 1e-3), hi * 1.5,  # integrate near/far bounds
+            )
+        )
 
     def reset(self, seeds: Optional[list] = None) -> None:
         """(Re)initialize buffers + visited state from the seed frames.
@@ -365,7 +411,18 @@ class InfiniteSceneGeneration:
             "warped_tgt_depth": tgt_depth[None],
         }
         cond = get_x(batch, self.cfg.dataset)
-        return self._decode_frame(params, cond, rng)
+        rgb, depth, x, mask = self._decode_frame(params, cond, rng)
+        if self.cfg.coherent_plane_depth:
+            from sgam_neurips22_tpu.geometry.camera import plane_z_depth
+
+            # clamp at the integrate near/far bounds, NOT the codec range:
+            # a tighter clamp flattens off-range pixels onto a per-camera
+            # (world-inconsistent) shell, which re-grows the pool exactly
+            # like depth noise would
+            depth = plane_z_depth(
+                ks[0], tgt_w2c, self._plane_n, self._plane_d, (h, w), near, far
+            )
+        return rgb, depth, x, mask
 
     def _decode_batch(self, params, cond, rng):
         """(rgb [B, H, W, 3], depth [B, H, W]) from warped conditioning."""

@@ -425,3 +425,32 @@ def test_inverse_warp_multi_src_matches_per_source_sampling_oracle():
     want = np.where(any_valid[..., None], picked - 2.0, 0.0)
 
     np.testing.assert_array_equal(got, want)
+
+
+def test_plane_z_depth_closed_form():
+    """Fronto-parallel plane at distance d from an identity camera reads d
+    at the principal point and d everywhere (z-depth is constant on a
+    z=const plane); a camera translated along the plane must read the SAME
+    world surface (coherence is the point of the op)."""
+    from sgam_neurips22_tpu.geometry.camera import plane_z_depth
+
+    k = jnp.asarray([[50.0, 0, 15.5], [0, 50.0, 15.5], [0, 0, 1.0]])
+    w2c = jnp.eye(4)
+    n = jnp.asarray([0.0, 0.0, 1.0])
+    d = plane_z_depth(k, w2c, n, jnp.asarray(5.0), (32, 32), 0.1, 100.0)
+    np.testing.assert_allclose(np.asarray(d), 5.0, rtol=1e-6)
+    # translate the camera 2 units along +x: still z-depth 5 everywhere,
+    # and unprojected world points must land on the plane z=5
+    w2c2 = jnp.eye(4).at[0, 3].set(-2.0)  # world->cam: cam at x=+2
+    d2 = plane_z_depth(k, w2c2, n, jnp.asarray(5.0), (32, 32), 0.1, 100.0)
+    np.testing.assert_allclose(np.asarray(d2), 5.0, rtol=1e-6)
+    # tilted plane: unproject and verify n.x == plane_d
+    n3 = jnp.asarray([0.3, 0.1, 1.0])
+    n3 = n3 / jnp.linalg.norm(n3)
+    d3 = plane_z_depth(k, w2c2, n3, jnp.asarray(4.0), (32, 32), 0.01, 1000.0)
+    pts_cam = pixel2cam(d3[None], jnp.linalg.inv(k)[None])[0]  # [H, W, 3]
+    r_c2w = w2c2[:3, :3].T
+    pts_w = jnp.einsum("ij,hwj->hwi", r_c2w, pts_cam) + (-r_c2w @ w2c2[:3, 3])
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("i,hwi->hw", n3, pts_w)), 4.0, rtol=1e-4
+    )

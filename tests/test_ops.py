@@ -34,6 +34,28 @@ def test_flash_attention_matches_xla():
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
 
 
+def test_vq_pallas_flag_routes_production_quantize(monkeypatch):
+    """SGAM_TPU_VQ_PALLAS=1 must route quantize() and quantize_topk(topk=1)
+    through the fused kernel with identical indices/outputs to the XLA
+    path (the wiring, not just the kernel)."""
+    from sgam_neurips22_tpu.models.vqgan import quantize as q
+
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.normal(size=(2, 4, 4, 32)).astype(np.float32))
+    cb = jnp.asarray(rng.normal(size=(300, 32)).astype(np.float32))
+    base = q.quantize(cb, z)
+    base_topk = q.quantize_topk(cb, z, jax.random.PRNGKey(0), topk=1)
+    monkeypatch.setenv("SGAM_TPU_VQ_PALLAS", "1")
+    assert q._use_vq_pallas()
+    flagged = q.quantize(cb, z)
+    flagged_topk = q.quantize_topk(cb, z, jax.random.PRNGKey(0), topk=1)
+    np.testing.assert_array_equal(np.asarray(base.indices), np.asarray(flagged.indices))
+    np.testing.assert_allclose(np.asarray(base.z_q), np.asarray(flagged.z_q))
+    np.testing.assert_array_equal(
+        np.asarray(base_topk.indices), np.asarray(flagged_topk.indices)
+    )
+
+
 def test_nearest_codeword_unaligned_p():
     rng = np.random.default_rng(1)
     z = jnp.asarray(rng.normal(size=(13, 32)).astype(np.float32))  # P not multiple of 8
