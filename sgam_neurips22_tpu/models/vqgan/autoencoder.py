@@ -63,6 +63,11 @@ class DDConfig:
     # while group_norm statistics stay f32 (nn.group_norm) and the VQ
     # distance/codebook path stays f32 (quantize.codeword_distances).
     compute_dtype: str = "float32"
+    # Pallas flash attention in attn_block (None = off / SGAM_TPU_FLASH_ATTN
+    # env). The batched inference pipeline sets True (measured win at
+    # batch >= 2, see nn._use_flash_attention). FORWARD-ONLY: the kernel
+    # has no custom VJP, so training configs must leave this None/False.
+    flash_attention: object = None
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "DDConfig":
@@ -128,7 +133,7 @@ def apply_encoder(p: Params, cfg: DDConfig, x: jnp.ndarray) -> jnp.ndarray:
         for i_block in range(cfg.num_res_blocks):
             h = resnet_block(h, level["block"][i_block])
             if level["attn"]:
-                h = attn_block(h, level["attn"][i_block])
+                h = attn_block(h, level["attn"][i_block], flash=cfg.flash_attention)
         if "downsample" in level:
             h = downsample_conv(h, level["downsample"]["conv"])
         return h
@@ -137,7 +142,7 @@ def apply_encoder(p: Params, cfg: DDConfig, x: jnp.ndarray) -> jnp.ndarray:
     for i_level in range(num_res):
         h = level_fn(h, p["down"][i_level])
     h = resnet_block(h, p["mid"]["block_1"])
-    h = attn_block(h, p["mid"]["attn_1"])
+    h = attn_block(h, p["mid"]["attn_1"], flash=cfg.flash_attention)
     h = resnet_block(h, p["mid"]["block_2"])
     h = group_norm(h, p["norm_out"])
     h = swish(h)
@@ -188,14 +193,14 @@ def apply_decoder_features(p: Params, cfg: DDConfig, z: jnp.ndarray) -> jnp.ndar
     num_res = len(cfg.ch_mult)
     h = conv2d(z.astype(jnp.dtype(cfg.compute_dtype)), p["conv_in"])
     h = resnet_block(h, p["mid"]["block_1"])
-    h = attn_block(h, p["mid"]["attn_1"])
+    h = attn_block(h, p["mid"]["attn_1"], flash=cfg.flash_attention)
     h = resnet_block(h, p["mid"]["block_2"])
 
     def level_fn(h, level):
         for i_block in range(cfg.num_res_blocks + 1):
             h = resnet_block(h, level["block"][i_block])
             if level["attn"]:
-                h = attn_block(h, level["attn"][i_block])
+                h = attn_block(h, level["attn"][i_block], flash=cfg.flash_attention)
         if "upsample" in level:
             h = upsample_nearest2x(h)
             h = conv2d(h, level["upsample"]["conv"])

@@ -139,39 +139,53 @@ def init_attn_block(key, c: int, dtype=jnp.float32) -> Params:
     }
 
 
-def _use_flash_attention(seq_len: int) -> bool:
-    """Opt-in Pallas flash attention (SGAM_TPU_FLASH_ATTN=1).
+def _use_flash_attention(seq_len: int, override=None) -> bool:
+    """Pallas flash attention selection: SGAM_TPU_FLASH_ATTN=0/1 wins, then
+    the caller's override (DDConfig.flash_attention — the batched inference
+    pipeline sets True), else off.
 
-    Measured on v5e at S=4096/C=256: XLA's fused attention beats the Pallas
-    kernel (58.2 vs 54.7 frames/sec end-to-end) because each q-tile program
-    re-streams the full K/V; the kernel is kept for larger sequences/memory
-    pressure where avoiding the [S, S] HBM buffer matters."""
+    Measured on v5e at S=4096/C=256 (NOTES.md round 4): at batch 1 XLA's
+    fused attention wins end-to-end (96.7 vs 88.2 frames/sec — each
+    flash q-tile program re-streams the full K/V, which at B=1 costs more
+    than the 64 MB [S, S] logits round-trip it saves). At batch 8 the
+    naive path's [B, S, S] einsums blow up to 9x the per-scene time of
+    batch 1 (1.46 ms vs 0.16 ms per scene per step) and flash attention
+    flips the batched unroll from LOSING to single-scene (89.0 aggregate)
+    to BEATING it (106.2 vs 96.7). Training must NOT enable it: the kernel
+    has no custom VJP, so it is forward-only."""
     import os
 
     flag = os.environ.get("SGAM_TPU_FLASH_ATTN")
     if flag is not None:
         return flag not in ("0", "false", "False")
+    if override is not None:
+        return bool(override)
     return False
 
 
-def attn_block(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+def attn_block(x: jnp.ndarray, p: Params, flash=None) -> jnp.ndarray:
     """Single-head full self-attention over H*W tokens
     (reference AttnBlock, model.py:168-192).
 
     At 256^2 input this runs at 64x64 spatial (4096 tokens, C=256): the
     attention matrix is [B, 4096, 4096]. On TPU the Pallas flash-attention
     kernel (ops/attention_pallas.py) streams K/V tiles instead of
-    materializing it.
+    materializing it; `flash` (from DDConfig.flash_attention) selects it —
+    see _use_flash_attention for the measured batch-1/batch-8 defaults.
     """
     b, h, w, c = x.shape
     hn = group_norm(x, p["norm"])
     q = conv2d(hn, p["q"]).reshape(b, h * w, c)
     k = conv2d(hn, p["k"]).reshape(b, h * w, c)
     v = conv2d(hn, p["v"]).reshape(b, h * w, c)
-    if _use_flash_attention(h * w):
+    if _use_flash_attention(h * w, flash):
         from sgam_neurips22_tpu.ops.attention_pallas import flash_attention
 
-        out = flash_attention(q, k, v).reshape(b, h, w, c)
+        # off-TPU the kernel runs in Pallas interpret mode (slow but
+        # correct) so flash-selected configs stay testable on CPU
+        out = flash_attention(
+            q, k, v, interpret=jax.default_backend() != "tpu"
+        ).reshape(b, h, w, c)
     else:
         scale = 1.0 / math.sqrt(c)
         logits = jnp.einsum(

@@ -308,6 +308,18 @@ class InfiniteSceneGeneration:
         self._seeds = seeds
         self.reset()
 
+    def _flash_model_cfg(self):
+        """model_cfg with Pallas flash attention enabled (batched decode;
+        forward-only — see DDConfig.flash_attention)."""
+        from dataclasses import replace
+
+        if getattr(self, "_flash_cfg_cache", None) is None:
+            self._flash_cfg_cache = replace(
+                self.model_cfg,
+                ddconfig=replace(self.model_cfg.ddconfig, flash_attention=True),
+            )
+        return self._flash_cfg_cache
+
     def plane_depth_at(self, idx: int) -> np.ndarray:
         """[H, W] analytic coherent-plane z-depth at grid pose `idx`
         (coherent_plane_depth mode; used to build consistent seed frames)."""
@@ -424,10 +436,10 @@ class InfiniteSceneGeneration:
             )
         return rgb, depth, x, mask
 
-    def _decode_batch(self, params, cond, rng):
+    def _decode_batch(self, params, cond, rng, model_cfg=None):
         """(rgb [B, H, W, 3], depth [B, H, W]) from warped conditioning."""
         res = forward(
-            params, self.model_cfg, cond.x,
+            params, model_cfg or self.model_cfg, cond.x,
             extrapolation_mask=cond.extrapolation_mask,
             topk=self.cfg.topk, rng=rng, sample_number=1,
             topk_position0_bug=self.cfg.topk_position0_compat,
@@ -472,7 +484,15 @@ class InfiniteSceneGeneration:
             "src_masks": jnp.broadcast_to(src_mask[None], (s, n)),
         }
         cond = get_x(batch, self.cfg.dataset, depth_range=None, collision=self.cfg.collision, splat_stride=self.cfg.splat_stride)
-        return self._decode_batch(params, cond, rng)
+        # batch >= 2 runs the model with Pallas flash attention: the naive
+        # [S_scenes, 4096, 4096] attention einsums cost 9x per scene what
+        # batch 1 pays and were what made batched aggregate LOSE to
+        # single-scene (measured on v5e, NOTES.md round 4: 89.0 -> 106.2
+        # aggregate fps vs 96.7 single)
+        return self._decode_batch(
+            params, cond, rng,
+            model_cfg=self._flash_model_cfg() if s >= 2 else None,
+        )
 
     @partial(jax.jit, static_argnames=("self",))
     def _integrate_jit(self, volume, depth, rgb, k, w2c):
