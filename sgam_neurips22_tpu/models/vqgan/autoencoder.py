@@ -65,8 +65,9 @@ class DDConfig:
     compute_dtype: str = "float32"
     # Pallas flash attention in attn_block (None = off / SGAM_TPU_FLASH_ATTN
     # env). The batched inference pipeline sets True (measured win at
-    # batch >= 2, see nn._use_flash_attention). FORWARD-ONLY: the kernel
-    # has no custom VJP, so training configs must leave this None/False.
+    # batch >= 2, see nn._use_flash_attention); differentiable (custom
+    # FlashAttention VJP, ops/attention_pallas.py) so training configs may
+    # enable it too.
     flash_attention: object = None
 
     @classmethod

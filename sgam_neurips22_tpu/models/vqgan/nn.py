@@ -151,8 +151,9 @@ def _use_flash_attention(seq_len: int, override=None) -> bool:
     naive path's [B, S, S] einsums blow up to 9x the per-scene time of
     batch 1 (1.46 ms vs 0.16 ms per scene per step) and flash attention
     flips the batched unroll from LOSING to single-scene (89.0 aggregate)
-    to BEATING it (106.2 vs 96.7). Training must NOT enable it: the kernel
-    has no custom VJP, so it is forward-only."""
+    to BEATING it (106.2 vs 96.7). The kernel carries a custom
+    FlashAttention VJP, so training can enable it as well (see the
+    measured decision in bench.py/NOTES.md round 4)."""
     import os
 
     flag = os.environ.get("SGAM_TPU_FLASH_ATTN")

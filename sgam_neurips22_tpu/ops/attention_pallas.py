@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: single-head flash attention.
+"""Pallas TPU kernel: single-head flash attention (forward + custom VJP).
 
 The VQGAN AttnBlock (models/vqgan/nn.py, reference
 modules/diffusionmodules/model.py:140-192) attends over all H*W tokens —
@@ -10,6 +10,15 @@ recurrence, so HBM traffic is O(S*C) instead of O(S^2).
 Single head, modest sequence: one grid axis over (batch, q-tile) pairs and
 a sequential inner fori_loop over K tiles (simpler than a 2-D grid and fast
 enough at S<=4096).
+
+Differentiable: `flash_attention` carries a jax.custom_vjp. The forward
+kernel additionally writes the per-row logsumexp; the backward pass is the
+standard FlashAttention recomputation — D = rowsum(dO * O) in plain XLA
+(dense O(S*C)), then one kernel producing dQ (grid over q tiles, streaming
+K/V) and one producing dK/dV (grid over k tiles, streaming Q/dO). No
+[S, S] tensor ever reaches HBM in either direction, which is what lets
+training (batch 8/16) use the kernel — the naive path's [B, S, S] einsums
+are the dominant attention cost there (NOTES.md round 4).
 """
 from __future__ import annotations
 
@@ -25,7 +34,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, s_total):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k, s_total):
     q = q_ref[0] * scale  # [Bq, C]
     bq, c = q.shape
     s_pad = k_ref.shape[1]
@@ -54,6 +63,192 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, block_k, s_total):
     l = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc, m, l))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # logsumexp residual for the backward pass: p = exp(logits - lse)
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _flash_fwd_impl(q, k, v, block_q, block_k, interpret):
+    b, s, c = q.shape
+    scale = 1.0 / (c**0.5)
+    s_pad_q = _round_up(s, block_q)
+    s_pad_k = _round_up(s, block_k)
+
+    def pad(x, s_pad):
+        return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, s_pad - s), (0, 0)))
+
+    qp, kp, vp = pad(q, s_pad_q), pad(k, s_pad_k), pad(v, s_pad_k)
+    grid = (b, s_pad_q // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, block_k=block_k, s_total=s
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad_k, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad_k, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s_pad_q, c), q.dtype),
+            jax.ShapeDtypeStruct((b, s_pad_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :s], lse[:, :s, 0]
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref, *, scale, block_k, s_total
+):
+    """dQ for one q tile: stream K/V tiles; dS = P * (dO V^T - D)."""
+    q = q_ref[0]  # [Bq, C] (unscaled)
+    do = do_ref[0]  # [Bq, C]
+    lse = lse_ref[0]  # [Bq, 1]
+    dd = dd_ref[0]  # [Bq, 1]
+    bq, c = q.shape
+    s_pad = k_ref.shape[1]
+    num_k = s_pad // block_k
+
+    def body(i, acc):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        logits = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + i * block_k
+        p = jnp.where(col < s_total, jnp.exp(logits - lse), 0.0)  # [Bq, Bk]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Bq, Bk]
+        ds = p * (dp - dd)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, c), jnp.float32))
+    dq_ref[0] = (scale * acc).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    k_ref, v_ref, q_ref, do_ref, lse_ref, dd_ref, dk_ref, dv_ref,
+    *, scale, block_q, s_total
+):
+    """dK/dV for one k tile: stream Q/dO tiles; P^T against each."""
+    k = k_ref[0]  # [Bk, C]
+    v = v_ref[0]
+    bk, c = k.shape
+    s_pad = q_ref.shape[1]
+    num_q = s_pad // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :]  # [Bq, C]
+        do = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :]  # [Bq, 1]
+        dd = dd_ref[0, pl.ds(i * block_q, block_q), :]
+        # pt: [Bk, Bq] = P^T — padded q rows have lse from padded forward
+        # rows; mask them out explicitly
+        logits_t = scale * jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Bk, Bq]
+        col_q = jax.lax.broadcasted_iota(jnp.int32, logits_t.shape, 1) + i * block_q
+        pt = jnp.where(col_q < s_total, jnp.exp(logits_t - lse[:, 0][None, :]), 0.0)
+        dv_new = dv + jax.lax.dot_general(
+            pt, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Bk, C]
+        dp_t = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [Bk, Bq]
+        ds_t = pt * (dp_t - dd[:, 0][None, :])
+        dk_new = dk + jax.lax.dot_general(
+            ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_new, dv_new
+
+    dk = jnp.zeros((bk, c), jnp.float32)
+    dv = jnp.zeros((bk, c), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk, dv))
+    dk_ref[0] = (scale * dk).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, out, lse, g, block_q, block_k, interpret):
+    b, s, c = q.shape
+    scale = 1.0 / (c**0.5)
+    s_pad_q = _round_up(s, block_q)
+    s_pad_k = _round_up(s, block_k)
+
+    def pad(x, s_pad):
+        return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, s_pad - s), (0, 0)))
+
+    qp, dop = pad(q, s_pad_q), pad(g, s_pad_q)
+    kp, vp = pad(k, s_pad_k), pad(v, s_pad_k)
+    # D = rowsum(dO * O): dense O(S*C), fine in XLA
+    dd = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    ddp = jnp.pad(dd, ((0, 0), (0, s_pad_q - s)))[..., None]  # [B, Sq, 1]
+    lsep = jnp.pad(lse, ((0, 0), (0, s_pad_q - s)))[..., None]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k, s_total=s),
+        grid=(b, s_pad_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad_k, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad_k, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad_q, c), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, ddp)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_q=block_q, s_total=s),
+        grid=(b, s_pad_k // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_k, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad_q, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad_q, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad_q, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad_q, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s_pad_k, c), k.dtype),
+            jax.ShapeDtypeStruct((b, s_pad_k, c), v.dtype),
+        ],
+        interpret=interpret,
+    )(kp, vp, qp, dop, lsep, ddp)
+    return dq[:, :s], dk[:, :s], dv[:, :s]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention(q, k, v, block_q, block_k, interpret):
+    out, _ = _flash_fwd_impl(q, k, v, block_q, block_k, interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, block_q, block_k, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd(block_q, block_k, interpret, res, g):
+    q, k, v, out, lse = res
+    return _flash_bwd_impl(q, k, v, out, lse, g, block_q, block_k, interpret)
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
@@ -65,29 +260,8 @@ def flash_attention(
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """softmax(q k^T / sqrt(C)) v for single-head [B, S, C] tensors."""
-    b, s, c = q.shape
-    scale = 1.0 / (c**0.5)
-    s_pad_q = _round_up(s, block_q)
-    s_pad_k = _round_up(s, block_k)
+    """softmax(q k^T / sqrt(C)) v for single-head [B, S, C] tensors.
 
-    def pad(x, s_pad):
-        return jnp.pad(x.astype(jnp.float32), ((0, 0), (0, s_pad - s), (0, 0)))
-
-    qp, kp, vp = pad(q, s_pad_q), pad(k, s_pad_k), pad(v, s_pad_k)
-    grid = (b, s_pad_q // block_q)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, block_k=block_k, s_total=s
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad_k, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad_k, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_pad_q, c), q.dtype),
-        interpret=interpret,
-    )(qp, kp, vp)
-    return out[:, :s]
+    Differentiable (custom VJP, FlashAttention-style recomputation): usable
+    in training steps; no [S, S] buffer in forward or backward."""
+    return _flash_attention(q, k, v, block_q, block_k, interpret)

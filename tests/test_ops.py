@@ -34,6 +34,35 @@ def test_flash_attention_matches_xla():
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_attention_grads_match_xla():
+    """The custom VJP (FlashAttention-style backward) must produce the same
+    dQ/dK/dV as differentiating the naive softmax attention — this is what
+    lets training use the kernel (nn._use_flash_attention)."""
+    from sgam_neurips22_tpu.ops.attention_pallas import flash_attention
+
+    rng = np.random.default_rng(4)
+    b, s, c = 2, 300, 128  # non-multiple of block sizes exercises padding
+    q = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+
+    def ours(q, k, v):
+        out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        return jnp.sum(out * cot)
+
+    def ref(q, k, v):
+        scale = 1.0 / np.sqrt(c)
+        logits = jnp.einsum("bqc,bkc->bqk", q, k) * scale
+        out = jnp.einsum("bqk,bkc->bqc", jax.nn.softmax(logits, axis=-1), v)
+        return jnp.sum(out * cot)
+
+    g_ours = jax.grad(ours, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
 def test_vq_pallas_flag_routes_production_quantize(monkeypatch):
     """SGAM_TPU_VQ_PALLAS=1 must route quantize() and quantize_topk(topk=1)
     through the fused kernel with identical indices/outputs to the XLA
