@@ -110,7 +110,14 @@ def bench_train(phase: str, bs_override: int = 0, dtype: str = "float32",
         model,
         phase=phase,
         n_embed=2048 if phase == "codebook" else 16384,
-        ddconfig=replace(model.ddconfig, remat=True, compute_dtype=dtype),
+        # flash_attention=True is the shipped production training recipe
+        # (configs/*/*.yaml): measured 36.2 vs 31.6 img/s bf16 / 30.7 vs
+        # 28.2 f32 on the conditional step (the naive [B, 4096, 4096]
+        # attention einsums + their backward dominate at bs 16)
+        ddconfig=replace(
+            model.ddconfig, remat=True, compute_dtype=dtype,
+            flash_attention=True,
+        ),
     )
     cfg = TrainConfig(model=model, loss=LossConfig(disc_start=0), learning_rate=1e-4)
     lp = init_lpips(jax.random.PRNGKey(1))

@@ -309,8 +309,9 @@ class InfiniteSceneGeneration:
         self.reset()
 
     def _flash_model_cfg(self):
-        """model_cfg with Pallas flash attention enabled (batched decode;
-        forward-only — see DDConfig.flash_attention)."""
+        """model_cfg with Pallas flash attention enabled (batched decode —
+        see DDConfig.flash_attention; the kernel also carries a custom VJP
+        so the same flag drives training)."""
         from dataclasses import replace
 
         if getattr(self, "_flash_cfg_cache", None) is None:
