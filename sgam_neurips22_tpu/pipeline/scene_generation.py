@@ -280,7 +280,18 @@ class InfiniteSceneGeneration:
         intrinsics: Optional[np.ndarray] = None,
     ):
         self.params = params
-        self.model_cfg = model_cfg
+        # Inference selects the attention kernel by BATCH SIZE, not by the
+        # config's training recipe: flash attention is measured slower at
+        # batch 1 (96.7 vs 88.2 fps) and faster at batch >= 2 (NOTES.md
+        # round 4). Training YAMLs ship flash_attention: true, so a user
+        # pointing generate.py at one must not silently pay 9% at batch 1 —
+        # normalize here; _flash_model_cfg re-enables it for batched decode
+        # and SGAM_TPU_FLASH_ATTN still overrides both ways.
+        from dataclasses import replace as _replace
+
+        self.model_cfg = _replace(
+            model_cfg, ddconfig=_replace(model_cfg.ddconfig, flash_attention=None)
+        )
         self.cfg = cfg
         self.codec = get_codec(cfg.dataset)
         self.grid = _build_grid(cfg, intrinsics)

@@ -115,9 +115,17 @@ def build_inference_step(model_cfg, topk: int = 1, num_src: int = 5,
     import jax.numpy as jnp
     import numpy as np
 
+    from dataclasses import replace
+
     from sgam_neurips22_tpu.geometry.codec import get_codec
     from sgam_neurips22_tpu.models import forward, get_x, init_vqmodel
 
+    # batch-1 serving: flash attention is measured slower at B=1, so a
+    # training YAML's flash_attention: true must not leak in (see
+    # InfiniteSceneGeneration.__init__; SGAM_TPU_FLASH_ATTN still wins)
+    model_cfg = replace(
+        model_cfg, ddconfig=replace(model_cfg.ddconfig, flash_attention=None)
+    )
     codec = get_codec(model_cfg.dataset)
     params = init_vqmodel(jax.random.PRNGKey(0), model_cfg)
     b, n, h, w = 1, num_src, image_size, image_size

@@ -358,3 +358,32 @@ def test_point_budget_exempts_map_requery():
         dataset="clevr-infinite", output_dim=(2, 2),
         image_resolution=(512, 512), use_rgbd_integration=True,
     )
+
+
+def test_batch1_inference_normalizes_training_flash_recipe(tiny_params):
+    """The shipped training YAMLs set ddconfig.flash_attention=true (a
+    measured bs-16 win); at batch 1 flash is measured SLOWER, so both
+    batch-1 inference entry points must strip it — the batched decode path
+    re-enables it via _flash_model_cfg (NOTES.md round 4)."""
+    from dataclasses import replace
+
+    flash_cfg = replace(TINY, ddconfig=replace(TINY.ddconfig, flash_attention=True))
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2), num_src=2, topk=1,
+        image_resolution=(H, W),
+    )
+    rgb, depth = make_seed()
+    gen = InfiniteSceneGeneration(
+        tiny_params, flash_cfg, cfg, seeds=[((0, 0), rgb, depth)],
+        intrinsics=TINY_K,
+    )
+    assert gen.model_cfg.ddconfig.flash_attention is None
+    assert gen._flash_model_cfg().ddconfig.flash_attention is True
+
+    from sgam_neurips22_tpu.serving import build_inference_step
+
+    fn, (params, batch, rng) = build_inference_step(
+        flash_cfg, num_src=2, image_size=H
+    )
+    out_rgb, out_depth = fn(params, batch, rng)
+    assert np.isfinite(np.asarray(out_rgb)).all()
