@@ -139,7 +139,7 @@ def init_attn_block(key, c: int, dtype=jnp.float32) -> Params:
     }
 
 
-def _use_flash_attention(seq_len: int, override=None) -> bool:
+def _use_flash_attention(override=None) -> bool:
     """Pallas flash attention selection: SGAM_TPU_FLASH_ATTN=0/1 wins, then
     the caller's override (DDConfig.flash_attention — the batched inference
     pipeline sets True), else off.
@@ -151,7 +151,7 @@ def _use_flash_attention(seq_len: int, override=None) -> bool:
     naive path's [B, S, S] einsums blow up to 9x the per-scene time of
     batch 1 (1.46 ms vs 0.16 ms per scene per step) and flash attention
     flips the batched unroll from LOSING to single-scene (89.0 aggregate)
-    to BEATING it (106.2 vs 96.7). The kernel carries a custom
+    to BEATING it (106.4 vs 96.7). The kernel carries a custom
     FlashAttention VJP, so training can enable it as well (see the
     measured decision in bench.py/NOTES.md round 4)."""
     import os
@@ -179,7 +179,7 @@ def attn_block(x: jnp.ndarray, p: Params, flash=None) -> jnp.ndarray:
     q = conv2d(hn, p["q"]).reshape(b, h * w, c)
     k = conv2d(hn, p["k"]).reshape(b, h * w, c)
     v = conv2d(hn, p["v"]).reshape(b, h * w, c)
-    if _use_flash_attention(h * w, flash):
+    if _use_flash_attention(flash):
         from sgam_neurips22_tpu.ops.attention_pallas import flash_attention
 
         # off-TPU the kernel runs in Pallas interpret mode (slow but

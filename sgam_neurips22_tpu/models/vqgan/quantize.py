@@ -85,6 +85,12 @@ def nearest_codeword_indices(z_flat: jnp.ndarray, codebook: jnp.ndarray) -> jnp.
     if _use_vq_pallas():
         from sgam_neurips22_tpu.ops.vq_pallas import nearest_codeword
 
+        # indices are integer/non-differentiable (exactly like argmin), but
+        # quantize() runs inside the differentiated training forward
+        # (model.py) and pallas_call has no VJP rule — stop the tangents
+        # here so jax.grad works with the flag on
+        z_flat = jax.lax.stop_gradient(z_flat)
+        codebook = jax.lax.stop_gradient(codebook)
         # off-TPU the kernel runs in Pallas interpret mode (slow but
         # correct) so the flag stays testable on the CPU mesh
         idx, _ = nearest_codeword(

@@ -496,14 +496,17 @@ class InfiniteSceneGeneration:
             "src_masks": jnp.broadcast_to(src_mask[None], (s, n)),
         }
         cond = get_x(batch, self.cfg.dataset, depth_range=None, collision=self.cfg.collision, splat_stride=self.cfg.splat_stride)
-        # batch >= 2 runs the model with Pallas flash attention: the naive
-        # [S_scenes, 4096, 4096] attention einsums cost 9x per scene what
-        # batch 1 pays and were what made batched aggregate LOSE to
-        # single-scene (measured on v5e, NOTES.md round 4: 89.0 -> 106.2
-        # aggregate fps vs 96.7 single)
+        # batch >= 2 on TPU runs the model with Pallas flash attention: the
+        # naive [S_scenes, 4096, 4096] attention einsums cost 9x per scene
+        # what batch 1 pays and were what made batched aggregate LOSE to
+        # single-scene (measured on v5e, NOTES.md round 4: 89.0 -> 106.4
+        # aggregate fps vs 96.7 single). Off-TPU the kernel only has slow
+        # interpret mode, so the naive XLA path stays the default there
+        # (SGAM_TPU_FLASH_ATTN=1 still forces flash for testing).
+        use_flash = s >= 2 and jax.default_backend() == "tpu"
         return self._decode_batch(
             params, cond, rng,
-            model_cfg=self._flash_model_cfg() if s >= 2 else None,
+            model_cfg=self._flash_model_cfg() if use_flash else None,
         )
 
     @partial(jax.jit, static_argnames=("self",))

@@ -85,6 +85,29 @@ def test_vq_pallas_flag_routes_production_quantize(monkeypatch):
     )
 
 
+def test_vq_pallas_flag_differentiates(monkeypatch):
+    """quantize() runs inside the differentiated training forward; with
+    SGAM_TPU_VQ_PALLAS=1 the Pallas branch must not leak tangents into
+    pallas_call (no VJP rule) — jax.grad must work and match the XLA path
+    (indices are non-differentiable, so stop_gradient is exact)."""
+    from sgam_neurips22_tpu.models.vqgan import quantize as q
+
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.normal(size=(1, 4, 4, 32)).astype(np.float32))
+    cb = jnp.asarray(rng.normal(size=(300, 32)).astype(np.float32))
+
+    def loss(cb, z):
+        res = q.quantize(cb, z)
+        return res.loss + jnp.sum(res.z_q**2)
+
+    g_base = jax.grad(loss, argnums=(0, 1))(cb, z)
+    monkeypatch.setenv("SGAM_TPU_VQ_PALLAS", "1")
+    assert q._use_vq_pallas()
+    g_flag = jax.grad(loss, argnums=(0, 1))(cb, z)
+    for a, b_ in zip(g_flag, g_base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-6)
+
+
 def test_nearest_codeword_unaligned_p():
     rng = np.random.default_rng(1)
     z = jnp.asarray(rng.normal(size=(13, 32)).astype(np.float32))  # P not multiple of 8
