@@ -283,17 +283,33 @@ class TSDFVolume:
         return (self.grid != 0.0).astype(jnp.float32)
 
 
-def create_volume(cfg: TSDFConfig) -> TSDFVolume:
+def create_volume(cfg: TSDFConfig, n_scenes: int = 1) -> TSDFVolume:
+    """One TSDF volume, or `n_scenes` independent volumes in ONE state.
+
+    Batched volumes keep the same flat layout with the scene axis FOLDED
+    into the leading dimension (scene s owns grid[s*V:(s+1)*V], cell range
+    [s*C, (s+1)*C), ...): integrate/render then batch as pure index
+    arithmetic — scene offsets added to the same single scatters — instead
+    of vmapping, which would lower every scatter to the measured ~80 ns/row
+    [N, 2]-row slow path (NOTES.md round 2). Scene blocks are contiguous, so
+    sharding the leading axis over a data mesh places whole scenes per
+    device (the multi-chip serving layout)."""
     x, y, z = cfg.dims
+    s = int(n_scenes)
     return TSDFVolume(
-        grid=jnp.zeros(x * y * z, jnp.float32),
-        flags=jnp.zeros(x * y * z, jnp.uint8),
-        pool_ids=jnp.zeros(cfg.capacity, jnp.int32),
-        cell_counts=jnp.zeros(cfg.n_cells, jnp.int32),
+        grid=jnp.zeros(s * x * y * z, jnp.float32),
+        flags=jnp.zeros(s * x * y * z, jnp.uint8),
+        pool_ids=jnp.zeros(s * cfg.capacity, jnp.int32),
+        cell_counts=jnp.zeros(s * cfg.n_cells, jnp.int32),
         stats=jnp.zeros(4, jnp.float32),
         frame=jnp.zeros((), jnp.int32),
-        claim=jnp.zeros(cfg.claim_size, jnp.int32),
+        claim=jnp.zeros(s * cfg.claim_size, jnp.int32),
     )
+
+
+def volume_scenes(vol: TSDFVolume, cfg: TSDFConfig) -> int:
+    """Number of scenes folded into a (possibly batched) volume state."""
+    return vol.cell_counts.shape[0] // cfg.n_cells
 
 
 def auto_config(
@@ -437,18 +453,36 @@ def integrate(
     surface-voxel pool, deduplicated exactly (in-frame via a transient claim
     grid, across frames via `flags`) for O(pool) depth rendering.
 
+    Batched volumes (create_volume(cfg, n_scenes=S)) fuse S frames — one per
+    scene — in the SAME single scatters, with scene offsets folded into the
+    indices (never vmap: a vmapped scatter lowers to the ~80 ns/row
+    [N, 2]-row slow path, NOTES.md round 2). The S=1 path is bit-identical
+    to the historical unbatched implementation (element order preserved).
+
     Args:
-      depth: [H, W] z-depth (0 = invalid).
-      rgb: [H, W, 3] color — unused in the hot loop (color is reconstructed
+      depth: [H, W] or [S, H, W] z-depth (0 = invalid).
+      rgb: color — unused in the hot loop (color is reconstructed
         at export time from the frame buffers; see `colorize_points`).
-      intrinsics: [3, 3]; extrinsic: [4, 4] world->camera.
+      intrinsics: [3, 3]; extrinsic: [4, 4] or [S, 4, 4] world->camera.
     """
     del rgb  # color handled at export (keeps the in-loop state 5 bytes/voxel)
-    h, w = depth.shape
+    if depth.ndim == 2:
+        depth = depth[None]
+    if extrinsic.ndim == 2:
+        extrinsic = jnp.broadcast_to(extrinsic[None], (depth.shape[0], 4, 4))
+    ns, h, w = depth.shape
+    n_vox = int(np.prod(cfg.dims))
+    if vol.cell_counts.shape[0] != ns * cfg.n_cells:
+        raise ValueError(
+            f"integrate: volume holds {volume_scenes(vol, cfg)} scene(s) but "
+            f"depth batches {ns}"
+        )
     band = cfg.band
     k2 = 2 * band
     dims = cfg.dims
-    cam_center, dirs_world = _camera_rays(intrinsics, extrinsic, h, w)
+    cam_center, dirs_world = jax.vmap(
+        lambda e: _camera_rays(intrinsics, e, h, w)
+    )(extrinsic)  # [S, 3], [S, H, W, 3]
     s = cfg.integrate_stride
     if s > 1:
         # ray subsampling: the scatter-add is the integrate cost (O(rays x
@@ -456,14 +490,17 @@ def integrate(
         # (both reference datasets: ~1.8-2.5 px at working depth), stride-s
         # rays still touch every band voxel. Pixel centers stay at their
         # original positions.
-        depth = depth[::s, ::s]
-        dirs_world = dirs_world[::s, ::s]
+        depth = depth[:, ::s, ::s]
+        dirs_world = dirs_world[:, ::s, ::s]
 
     valid = (depth > 0) & (depth < cfg.depth_trunc)
     # sample offsets in z: +-(0.5, 1.5, ..., band-0.5) voxels around the surface
     offsets = (jnp.arange(k2, dtype=jnp.float32) + 0.5 - band) * cfg.voxel_size
-    zs = depth[..., None] + offsets  # [H, W, K2]
-    pts = cam_center + dirs_world[..., None, :] * zs[..., None]  # [H, W, K2, 3]
+    zs = depth[..., None] + offsets  # [S, H, W, K2]
+    pts = (
+        cam_center[:, None, None, None, :]
+        + dirs_world[..., None, :] * zs[..., None]
+    )  # [S, H, W, K2, 3]
     g = jnp.floor((pts - jnp.asarray(cfg.origin)) / cfg.voxel_size).astype(jnp.int32)
     inb = (
         (g[..., 0] >= 0) & (g[..., 0] < dims[0])
@@ -471,14 +508,16 @@ def integrate(
         & (g[..., 2] >= 0) & (g[..., 2] < dims[2])
     )
     ok = valid[..., None] & inb & (zs > 0)
-    lin = cfg.lin_index(g)
+    # scene offset folds the batch into the flat grid index
+    scene_off = (jnp.arange(ns, dtype=jnp.int32) * n_vox)[:, None, None, None]
+    lin = cfg.lin_index(g) + scene_off
     lin = jnp.where(ok, lin, 0)
     # sdf at a sample z along the ray is (measured_depth - z) = -offset:
     # constant per band slot.
     contrib_t = jnp.clip(-offsets / cfg.trunc, -1.0, 1.0)
     # masked samples contribute exactly 0.0 at index 0 — a value no-op, so no
     # scatter mode="drop" bookkeeping is needed.
-    vals = contrib_t * ok.astype(jnp.float32)  # [H, W, K2]
+    vals = contrib_t * ok.astype(jnp.float32)  # [S, H, W, K2]
     # scatter with the BAND axis outermost: consecutive scatter elements are
     # then neighboring pixels' voxels at the same band slot — memory-adjacent
     # under the u-aligned axis_order — instead of one ray's 6 band samples
@@ -501,44 +540,53 @@ def integrate(
     # into the persistent claim grid; entries from earlier frames always
     # lose, and a candidate is this frame's winner iff it reads itself back
     # (ties broken toward the smallest pixel position, as before).
-    cand = lin[..., band - 1].reshape(-1)  # [H*W / s^2]
-    cand_ok = ok[..., band - 1].reshape(-1)
-    if cand.shape[0] > (1 << _CLAIM_POS_BITS):
+    rays = depth.shape[1] * depth.shape[2]
+    cand = lin[..., band - 1].reshape(ns, rays)  # scene-offset linear ids
+    cand_lo = cand - scene_off[..., 0, 0]  # within-scene ids (claim hash/cells)
+    cand_ok = ok[..., band - 1].reshape(ns, rays)
+    if rays > (1 << _CLAIM_POS_BITS):
         raise ValueError(
-            f"integrate: {cand.shape[0]} rays exceed the claim-key capacity "
+            f"integrate: {rays} rays exceed the claim-key capacity "
             f"2^{_CLAIM_POS_BITS}; raise integrate_stride or _CLAIM_POS_BITS"
         )
     pmask = (1 << _CLAIM_POS_BITS) - 1
-    pos = jnp.arange(cand.shape[0], dtype=jnp.int32)
+    pos = jnp.arange(rays, dtype=jnp.int32)[None]
     fkey = jnp.minimum(vol.frame + 1, CLAIM_MAX_FRAMES)  # no int32 overflow
     own = (fkey << _CLAIM_POS_BITS) | (pmask - pos)
+    own = jnp.broadcast_to(own, (ns, rays))
     # hashed claim slot on volumes beyond 2^claim_bits voxels (identity
     # otherwise): a collision defers one candidate's pool entry to a later
     # frame — the fused field above is exact either way (TSDFConfig).
-    cslot = cfg.claim_index(cand)
-    claim = vol.claim.at[cslot].max(jnp.where(cand_ok, own, 0))
+    claim_off = (jnp.arange(ns, dtype=jnp.int32) * cfg.claim_size)[:, None]
+    cslot = cfg.claim_index(cand_lo) + claim_off
+    claim = vol.claim.at[cslot.reshape(-1)].max(
+        jnp.where(cand_ok, own, 0).reshape(-1)
+    )
     first = cand_ok & (claim[cslot] == own)
     new = first & (vol.flags[cand] == 0)
 
     # --- spatial-cell slot allocation: a candidate voxel always books a
     # slot inside its own slab's cell (see TSDFConfig.pool_cells), so the
     # splat can frustum-cull whole cells from their STATIC bounds. Per-cell
-    # ranks via a [N, C] one-hot cumsum (C <= 64: a few MB of i32, ordinary
-    # vector work — no sort, no row scatter).
+    # ranks via a [S, N, C] one-hot cumsum (C <= 64: a few MB of i32,
+    # ordinary vector work — no sort, no row scatter).
     n_cells, cell_cap = cfg.n_cells, cfg.cell_cap
-    axis_coord = g[..., band - 1, cfg.split_axis].reshape(-1)
+    axis_coord = g[..., band - 1, cfg.split_axis].reshape(ns, rays)
     cell = jnp.clip(
         (axis_coord * n_cells) // cfg.dims[cfg.split_axis], 0, n_cells - 1
     )
-    onehot = (cell[:, None] == jnp.arange(n_cells)) & new[:, None]
-    ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=0)  # [N, C] inclusive
-    booked = ranks[-1]  # [C] new slots booked per cell this frame
-    rank = jnp.take_along_axis(ranks, cell[:, None], axis=1)[:, 0]  # 1-based
-    slots = vol.cell_counts[cell] + rank - 1  # lifetime position in cell
+    onehot = (cell[..., None] == jnp.arange(n_cells)) & new[..., None]
+    ranks = jnp.cumsum(onehot.astype(jnp.int32), axis=1)  # [S, N, C] inclusive
+    booked = ranks[:, -1]  # [S, C] new slots booked per cell this frame
+    rank = jnp.take_along_axis(ranks, cell[..., None], axis=2)[..., 0]  # 1-based
+    gcell = cell + (jnp.arange(ns, dtype=jnp.int32) * n_cells)[:, None]
+    counts = vol.cell_counts[gcell]
+    slots = counts + rank - 1  # lifetime position in cell
     # one frame can book at most `cell_cap` slots per cell (an in-frame
     # ring wrap would double-book a slot inside a single scatter); excess
     # is dropped and counted either way.
-    fits = new & (slots < vol.cell_counts[cell] + cell_cap)
+    fits = new & (slots < counts + cell_cap)
+    pool_oob = vol.pool_ids.shape[0]  # definitely-dropped scatter index
     if cfg.pool_recycle:
         # full cell: recycle its OLDEST slots (per-cell ring buffer) so the
         # newest observed surface always enters the map — bounded-memory
@@ -548,32 +596,29 @@ def integrate(
         # are disjoint from this frame's additions (fits requires
         # flags == 0; occupants have flags == 1), so the flag updates
         # commute.
-        slot = jnp.where(
-            fits, cell * cell_cap + slots % cell_cap, cfg.capacity
-        )
+        slot = jnp.where(fits, gcell * cell_cap + slots % cell_cap, pool_oob)
         reused = fits & (slots >= cell_cap)
         oob = vol.flags.shape[0]  # definitely-dropped scatter index
         evict = jnp.where(reused, vol.pool_ids[slot], oob)
-        flags0 = vol.flags.at[evict].set(0, mode="drop")
+        flags0 = vol.flags.at[evict.reshape(-1)].set(0, mode="drop")
         n_recycled = jnp.sum(reused.astype(jnp.float32))
     else:
         fits = fits & (slots < cell_cap)
-        slot = jnp.where(fits, cell * cell_cap + slots, cfg.capacity)
+        slot = jnp.where(fits, gcell * cell_cap + slots, pool_oob)
         flags0 = vol.flags
         n_recycled = jnp.float32(0.0)
-    pool_ids = vol.pool_ids.at[slot].set(cand, mode="drop")
-    flags = flags0.at[cand].max(fits.astype(jnp.uint8))
-    n_added = jnp.sum(fits.astype(jnp.int32))
+    pool_ids = vol.pool_ids.at[slot.reshape(-1)].set(cand.reshape(-1), mode="drop")
+    flags = flags0.at[cand.reshape(-1)].max(fits.astype(jnp.uint8).reshape(-1))
     n_dropped = jnp.sum((new & ~fits).astype(jnp.float32))
     dropped_per_cell = jnp.sum(
-        (onehot & (new & ~fits)[:, None]).astype(jnp.int32), axis=0
-    )
+        (onehot & (new & ~fits)[..., None]).astype(jnp.int32), axis=1
+    )  # [S, C]
 
     return TSDFVolume(
         grid=grid,
         flags=flags,
         pool_ids=pool_ids,
-        cell_counts=vol.cell_counts + booked - dropped_per_cell,
+        cell_counts=vol.cell_counts + (booked - dropped_per_cell).reshape(-1),
         stats=vol.stats + jnp.stack([n_valid, n_fused, n_dropped, n_recycled]),
         frame=vol.frame + 1,
         claim=claim,
@@ -591,9 +636,13 @@ def fusion_fraction(vol: TSDFVolume) -> Tuple[float, float, float, float]:
 # --------------------------------------------------------------------------
 # rendering
 # --------------------------------------------------------------------------
-def _sample_grid(vol: TSDFVolume, cfg: TSDFConfig, pts: jnp.ndarray, interp: str):
+def _sample_grid(
+    vol: TSDFVolume, cfg: TSDFConfig, pts: jnp.ndarray, interp: str,
+    scene_off=0,
+):
     """Sample (tsdf sum, observed) at world points [..., 3]. One scalar
-    gather per sample point on the 'nearest' fast path."""
+    gather per sample point on the 'nearest' fast path. `scene_off` (int or
+    broadcastable int32 array) selects the scene block of a batched volume."""
     dims = jnp.asarray(cfg.dims)
     if interp == "nearest":
         g = jnp.round(
@@ -605,7 +654,7 @@ def _sample_grid(vol: TSDFVolume, cfg: TSDFConfig, pts: jnp.ndarray, interp: str
         # traced at ~17 ns/sample (refine step, NOTES.md) vs the ~9 ns/elem
         # scalar-gather floor that 1-D index arithmetic achieves elsewhere
         # (integrate/pool paths); identical values either way
-        v = vol.grid[cfg.lin_index(gc)]
+        v = vol.grid[cfg.lin_index(gc) + scene_off]
         return v, inb & (v != 0.0)
     # trilinear over the sum field
     g = (pts - jnp.asarray(cfg.origin)) / cfg.voxel_size - 0.5
@@ -621,7 +670,7 @@ def _sample_grid(vol: TSDFVolume, cfg: TSDFConfig, pts: jnp.ndarray, interp: str
                 idx = g0 + jnp.asarray([dx, dy, dz])
                 inb = jnp.all((idx >= 0) & (idx < dims), axis=-1)
                 ic = jnp.clip(idx, 0, dims - 1)
-                v = flat[cfg.lin_index(ic)]
+                v = flat[cfg.lin_index(ic) + scene_off]
                 wgt = (
                     jnp.where(dx, frac[..., 0], 1 - frac[..., 0])
                     * jnp.where(dy, frac[..., 1], 1 - frac[..., 1])
@@ -654,26 +703,44 @@ def _render_depth_splat(
     the target frustum skip projection AND scatter via lax.cond, and within
     a visible cell, render_chunk-sized sub-chunks beyond the cell's live
     count are skipped too. `cull=False` disables the frustum cull (testing:
-    culling must be exactly output-invariant)."""
+    culling must be exactly output-invariant).
+
+    Batched volumes render S target views (extrinsic [S, 4, 4], one per
+    scene) in the SAME per-chunk scatters with the scene axis folded into
+    the z-buffer pixel index (output [S, H, W]); S=1 / [4, 4] extrinsics
+    reproduce the historical single-scene path bit-for-bit."""
     h, w = image_size
     dims = cfg.dims
-    ids = vol.pool_ids
-    r = extrinsic[:3, :3]
-    t = extrinsic[:3, 3]
+    squeeze = extrinsic.ndim == 2
+    if squeeze:
+        extrinsic = extrinsic[None]
+    ns = extrinsic.shape[0]
+    n_vox = int(np.prod(dims))
+    if vol.cell_counts.shape[0] != ns * cfg.n_cells:
+        raise ValueError(
+            f"render: volume holds {volume_scenes(vol, cfg)} scene(s) but "
+            f"extrinsics batch {ns}"
+        )
+    r = extrinsic[:, :3, :3]  # [S, 3, 3]
+    t = extrinsic[:, :3, 3]  # [S, 3]
+    ids = vol.pool_ids.reshape(ns, cfg.capacity)
+    counts = vol.cell_counts.reshape(ns, cfg.n_cells)
 
     def cam_coords(idc: jnp.ndarray) -> jnp.ndarray:
-        """Linear voxel ids -> camera-frame coordinates of voxel centers."""
+        """Within-scene linear voxel ids [S, N] -> per-scene camera-frame
+        coordinates [S, N, 3] of voxel centers."""
         vx, vy, vz = cfg.unlin_index(idc)
         centers = (
             jnp.stack([vx, vy, vz], axis=-1).astype(jnp.float32) + 0.5
         ) * cfg.voxel_size + jnp.asarray(cfg.origin)
-        return centers @ r.T + t
+        return jnp.einsum("sij,snj->sni", r, centers) + t[:, None]
 
     sentinel = jnp.uint32(0xFFFFFFFF)
     chunk = cfg.chunk
     cell_cap = cfg.cell_cap
+    scene_off = jnp.arange(ns, dtype=jnp.int32)[:, None] * n_vox
 
-    # --- static world-space cell boxes -> per-cell visibility [C] (one
+    # --- static world-space cell boxes -> per-cell visibility [S, C] (one
     # tiny vectorized 8-corner check; bounds are compile-time constants)
     corners = np.empty((cfg.n_cells, 8, 3), np.float32)
     for ci, (alo, ahi) in enumerate(cfg.cell_bounds()):
@@ -687,36 +754,41 @@ def _render_depth_splat(
             [[(k >> 2) & 1, (k >> 1) & 1, k & 1] for k in range(8)], np.float64
         )
         corners[ci] = lo * (1 - sel) + hi * sel
-    cam_c = jnp.asarray(corners) @ r.T + t  # [C, 8, 3]
+    cam_c = (
+        jnp.einsum("sij,ckj->scki", r, jnp.asarray(corners))
+        + t[:, None, None]
+    )  # [S, C, 8, 3]
     z_c = cam_c[..., 2]
-    all_behind = jnp.all(z_c < max(near, 1e-3), axis=1)
-    all_beyond = jnp.all(z_c > far, axis=1)
+    all_behind = jnp.all(z_c < max(near, 1e-3), axis=-1)
+    all_beyond = jnp.all(z_c > far, axis=-1)
     # image-bounds cull is only conservative when the whole box is in front
     # of the camera (projection of a convex set then lies in the hull of
     # the projected vertices)
     zs_c = jnp.maximum(z_c, 1e-6)
     u_c = intrinsics[0, 0] * cam_c[..., 0] / zs_c + intrinsics[0, 2]
     v_c = intrinsics[1, 1] * cam_c[..., 1] / zs_c + intrinsics[1, 2]
-    all_front = jnp.all(z_c > 1e-3, axis=1)
+    all_front = jnp.all(z_c > 1e-3, axis=-1)
     off_image = all_front & (
-        jnp.all(u_c < -0.5, axis=1) | jnp.all(u_c >= w - 0.5, axis=1)
-        | jnp.all(v_c < -0.5, axis=1) | jnp.all(v_c >= h - 0.5, axis=1)
+        jnp.all(u_c < -0.5, axis=-1) | jnp.all(u_c >= w - 0.5, axis=-1)
+        | jnp.all(v_c < -0.5, axis=-1) | jnp.all(v_c >= h - 0.5, axis=-1)
     )
-    visible = ~(all_behind | all_beyond | off_image)
+    visible = ~(all_behind | all_beyond | off_image)  # [S, C]
     if not cull:
         visible = jnp.ones_like(visible)
 
+    pix_scene_off = (jnp.arange(ns, dtype=jnp.int32) * (h * w))[:, None]
     best = None
-    chunk_sel = jnp.zeros((h * w,), jnp.int32)
-    starts = []  # global pool offset of each sub-chunk (static)
+    chunk_sel = jnp.zeros((ns * h * w,), jnp.int32)
+    starts = []  # within-scene pool offset of each sub-chunk (static)
     for ci in range(cfg.n_cells):
-        live = jnp.minimum(vol.cell_counts[ci], cell_cap)
+        live = jnp.minimum(counts[:, ci], cell_cap)  # [S]
         for k in range(-(-cell_cap // chunk)):
             c0 = ci * cell_cap + k * chunk
             c1 = min(c0 + chunk, (ci + 1) * cell_cap)
 
-            def scatter_chunk(c0=c0, c1=c1, k=k, live=live):
-                cam = cam_coords(ids[c0:c1])
+            def scatter_chunk(c0=c0, c1=c1, k=k, live=live, ci=ci):
+                vid = ids[:, c0:c1] - scene_off  # within-scene voxel ids
+                cam = cam_coords(vid)  # [S, chunk, 3]
                 z = cam[..., 2]
                 zs = jnp.maximum(z, 1e-6)
                 u = intrinsics[0, 0] * cam[..., 0] / zs + intrinsics[0, 2]
@@ -724,33 +796,34 @@ def _render_depth_splat(
                 ui = jnp.floor(u + 0.5).astype(jnp.int32)
                 vi = jnp.floor(v + 0.5).astype(jnp.int32)
                 active = (
-                    jnp.arange(k * chunk, k * chunk + (c1 - c0), dtype=jnp.int32)
-                    < live
+                    jnp.arange(k * chunk, k * chunk + (c1 - c0), dtype=jnp.int32)[None]
+                    < live[:, None]
                 )
                 valid = (
                     active
+                    & visible[:, ci : ci + 1]
                     & (z > max(near, 1e-3))
                     & (z < far)
                     & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
                 )
-                pix = jnp.where(valid, vi * w + ui, 0)
+                pix = jnp.where(valid, vi * w + ui + pix_scene_off, 0)
                 zq = jnp.clip(
                     (z - near) / (far - near) * 4095.0, 0, 4095
                 ).astype(jnp.uint32)
                 key = (zq << _POOL_IDX_BITS) | jnp.arange(
                     c1 - c0, dtype=jnp.uint32
-                )
+                )[None]
                 key = jnp.where(valid, key, sentinel)
                 return (
-                    jnp.full((h * w,), sentinel, jnp.uint32)
-                    .at[pix]
-                    .min(key, mode="drop")
+                    jnp.full((ns * h * w,), sentinel, jnp.uint32)
+                    .at[pix.reshape(-1)]
+                    .min(key.reshape(-1), mode="drop")
                 )
 
             win = jax.lax.cond(
-                (live > k * chunk) & visible[ci],
+                jnp.any((live > k * chunk) & visible[:, ci]),
                 scatter_chunk,
-                lambda: jnp.full((h * w,), sentinel, jnp.uint32),
+                lambda: jnp.full((ns * h * w,), sentinel, jnp.uint32),
             )
             if best is None:
                 best = win
@@ -764,11 +837,14 @@ def _render_depth_splat(
         jnp.asarray(starts, jnp.int32)[chunk_sel]
         + (best & (MAX_POOL_CAPACITY - 1)).astype(jnp.int32),
         0,
-    )
+    ).reshape(ns, h * w)
     # recompute the winners' depth from their voxel ids (z is no longer
     # materialized for the whole pool — only per chunk, and only for chunks
     # in use)
-    depth = jnp.where(has, cam_coords(ids[idx])[..., 2], 0.0).reshape(h, w)
+    win_vid = jnp.take_along_axis(ids, idx, axis=1) - scene_off
+    depth = jnp.where(
+        has.reshape(ns, h * w), cam_coords(win_vid)[..., 2], 0.0
+    ).reshape(ns, h, w)
 
     if refine:
         # sub-voxel zero-crossing around the splatted depth: the pool voxel
@@ -778,12 +854,20 @@ def _render_depth_splat(
         # degraded flat-wall depth beyond the 0.05 test tolerance — the
         # nearest-voxel grid read is piecewise constant, so the middle
         # sample genuinely halves the crossing quantization.)
-        cam_center, dirs_world = _camera_rays(intrinsics, extrinsic, h, w)
+        cam_center, dirs_world = jax.vmap(
+            lambda e: _camera_rays(intrinsics, e, h, w)
+        )(extrinsic)
         dt = 0.5 * cfg.voxel_size
         offs = jnp.arange(3, dtype=jnp.float32) * dt
         ts = depth[..., None] + offs
-        pts = cam_center + dirs_world[:, :, None, :] * ts[..., None]
-        vals, obs = _sample_grid(vol, cfg, pts, "nearest")
+        pts = (
+            cam_center[:, None, None, None, :]
+            + dirs_world[:, :, :, None, :] * ts[..., None]
+        )
+        vals, obs = _sample_grid(
+            vol, cfg, pts, "nearest",
+            scene_off=scene_off.reshape(ns, 1, 1, 1),
+        )
         prev_v, next_v = vals[..., :-1], vals[..., 1:]
         good = (prev_v > 0) & (next_v < 0) & obs[..., :-1] & obs[..., 1:]
         # only 2 candidate intervals: select beats a take_along_axis gather
@@ -806,14 +890,18 @@ def _render_depth_splat(
     big = jnp.float32(3.4e38)
     for _ in range(2):
         d = jnp.where(depth == 0.0, big, depth)
-        p = jnp.pad(d, 1, constant_values=big)
+        p = jnp.pad(d, ((0, 0), (1, 1), (1, 1)), constant_values=big)
         neigh = jnp.stack(
-            [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)],
+            [
+                p[:, dy : dy + h, dx : dx + w]
+                for dy in range(3)
+                for dx in range(3)
+            ],
             axis=-1,
         ).min(axis=-1)
         fill = jnp.where(neigh < big, neigh, 0.0)
         depth = jnp.where(depth == 0.0, fill, depth)
-    return depth
+    return depth[0] if squeeze else depth
 
 
 def _render_depth_raycast(
@@ -878,9 +966,14 @@ def render_depth(
 
     Replaces the reference's mesh + OffscreenRenderer re-query
     (`render_to_depth_image(z_in_view_space=True)`, inference_pipeline.py:825;
-    Inf->0 mapping at :827). method='splat' is the O(pool) fast path;
+    Inf->0 mapping at :827). method='splat' is the O(pool) fast path and
+    accepts batched volumes + extrinsics [S, 4, 4] (output [S, H, W]);
     method='raycast' marches rays through the grid ('interp' selects
-    nearest/trilinear sampling)."""
+    nearest/trilinear sampling), single-scene only."""
+    if method != "splat" and extrinsic.ndim == 3:
+        raise NotImplementedError(
+            "batched map rendering supports method='splat' only"
+        )
     if method == "splat":
         return _render_depth_splat(
             vol, cfg, intrinsics, extrinsic, image_size, near, far, refine=refine
@@ -894,16 +987,21 @@ def render_depth(
 # --------------------------------------------------------------------------
 # export (host-side)
 # --------------------------------------------------------------------------
-def extract_points(vol: TSDFVolume, cfg: TSDFConfig, max_abs_tsdf: float = 1.0):
+def extract_points(
+    vol: TSDFVolume, cfg: TSDFConfig, max_abs_tsdf: float = 1.0, scene: int = 0
+):
     """Surface point cloud (the reference's `volume.extract_point_cloud()`
     -> .ply, inference_pipeline.py:447): the flagged surface voxels (the
     band samples straddling a measured depth), optionally filtered to
     |clipped sum| < max_abs_tsdf. Host-side; colors via `colorize_points`
-    (gray if never colorized)."""
+    (gray if never colorized). `scene` selects one block of a batched
+    volume."""
     o = cfg.axis_order
     layout_dims = tuple(cfg.dims[a] for a in o)
-    flags = np.asarray(vol.flags).reshape(layout_dims) != 0
-    g = np.asarray(vol.grid).reshape(layout_dims)
+    n_vox = int(np.prod(cfg.dims))
+    sl = slice(scene * n_vox, (scene + 1) * n_vox)
+    flags = np.asarray(vol.flags[sl]).reshape(layout_dims) != 0
+    g = np.asarray(vol.grid[sl]).reshape(layout_dims)
     mask = flags & (np.abs(np.clip(g, -1.0, 1.0)) < max_abs_tsdf + 1e-9)
     idx = np.argwhere(mask)  # coords in LAYOUT order -> back to world order
     inv = np.argsort(o)

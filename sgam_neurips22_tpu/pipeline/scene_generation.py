@@ -509,6 +509,85 @@ class InfiniteSceneGeneration:
             model_cfg=self._flash_model_cfg() if use_flash else None,
         )
 
+    def _map_requery_core_batched(
+        self, params, rgb_flat, depth_flat, volume, n_scenes,
+        src_idx, src_mask, tgt_w2c, t_tgt2srcs, ks, rng,
+    ):
+        """TSDF map re-query conditioning for S scenes at once: the batched
+        volume renders all S target depths in the same per-chunk scatters
+        (scene axis folded into the z-buffer pixel index, mapping/tsdf.py)
+        and the model decodes at batch S. All scenes share the plan, so the
+        per-scene target pose is the same w2c broadcast S ways."""
+        s = n_scenes
+        g = rgb_flat.shape[0] // s
+        h, w = self.cfg.image_resolution
+        lo, hi = self.codec.depth_range
+        near = max(lo * 0.5, 1e-3)
+        far = hi * 1.5
+        n = src_idx.shape[0]
+        flat_idx = (jnp.arange(s, dtype=src_idx.dtype) * g)[:, None] + src_idx[None]
+        tgt_depth = render_depth(
+            volume, self.tsdf_cfg, ks[0],
+            jnp.broadcast_to(tgt_w2c[None], (s, 4, 4)), (h, w),
+            near=near, far=far, n_samples=self.cfg.raycast_samples,
+            method=self.cfg.requery_method, interp=self.cfg.raycast_interp,
+        )  # [S, H, W]
+        warped = inverse_warp_multi_src(
+            rgb_flat[flat_idx],
+            depth_flat[flat_idx],
+            tgt_depth,
+            jnp.broadcast_to(ks[None], (s, n, 3, 3)),
+            jnp.broadcast_to(ks[0][None], (s, 3, 3)),
+            jnp.broadcast_to(t_tgt2srcs[None], (s, n, 4, 4)),
+        )
+        batch = {
+            "dst_img": jnp.zeros((s, h, w, 3), jnp.float32),
+            "dst_depth": jnp.full((s, h, w), lo, jnp.float32),
+            "warped_tgt_features": warped,
+            "warped_tgt_depth": tgt_depth,
+        }
+        cond = get_x(batch, self.cfg.dataset)
+        use_flash = s >= 2 and jax.default_backend() == "tpu"
+        return self._decode_batch(
+            params, cond, rng,
+            model_cfg=self._flash_model_cfg() if use_flash else None,
+        )
+
+    @partial(jax.jit, static_argnames=("self", "n_scenes"), donate_argnums=(2, 3, 4))
+    def _fused_unroll_tsdf_batched(
+        self, params, rgb_flat, depth_flat, volume, n_scenes, plan, ks, rng
+    ):
+        """S map-requery scenes unrolled concurrently as one program: batch-S
+        model + one whole-batch TSDF render/integrate per step (the batched
+        twin of _fused_unroll_tsdf; see _fused_unroll_batched for why this
+        is explicit batch dims, not vmap)."""
+        t_total = plan["tgt"].shape[0]
+        g = rgb_flat.shape[0] // n_scenes
+        scene_base = jnp.arange(n_scenes, dtype=jnp.int32) * g
+
+        def body(t, carry):
+            rgb_flat, depth_flat, volume = carry
+            rgb, depth = self._map_requery_core_batched(
+                params, rgb_flat, depth_flat, volume, n_scenes,
+                plan["src_idx"][t], plan["src_mask"][t],
+                plan["tgt_w2c"][t], plan["t_tgt2srcs"][t], ks,
+                jax.random.fold_in(rng, t),
+            )
+            tgt = scene_base + plan["tgt"][t]
+            volume = integrate(
+                volume, self.tsdf_cfg, depth, (rgb + 1.0) / 2.0,
+                ks[0], plan["tgt_w2c"][t],
+            )
+            return (
+                rgb_flat.at[tgt].set(rgb),
+                depth_flat.at[tgt].set(depth),
+                volume,
+            )
+
+        return jax.lax.fori_loop(
+            0, t_total, body, (rgb_flat, depth_flat, volume)
+        )
+
     @partial(jax.jit, static_argnames=("self",))
     def _integrate_jit(self, volume, depth, rgb, k, w2c):
         return integrate(volume, self.tsdf_cfg, depth, (rgb + 1.0) / 2.0, k, w2c)
@@ -703,8 +782,10 @@ class InfiniteSceneGeneration:
         with explicit batch dimensions everywhere — the MXU sees batch-S
         convs and the splat is one whole-batch scatter (vmap over the
         single-scene unroll serialized the scatters and REGRESSED round 1's
-        throughput). Splat mode only (the TSDF volume would need S copies;
-        extend when a batched map is required).
+        throughput). Both conditioning modes are supported: splat, and TSDF
+        map re-query (use_rgbd_integration), whose S per-scene volumes live
+        in ONE batched TSDFVolume (scene axis folded into the flat arrays,
+        mapping/tsdf.py) so integrate/render stay single scatters.
 
         Args:
           seeds_batch: list over scenes of [(coord, rgb, depth), ...] —
@@ -718,8 +799,6 @@ class InfiniteSceneGeneration:
         Returns:
           (rgb [S, G, H, W, 3], depth [S, G, H, W]).
         """
-        if self.cfg.use_rgbd_integration:
-            raise NotImplementedError("batched mode currently supports splat conditioning")
         rng = jax.random.PRNGKey(3) if rng is None else rng
         h, w = self.cfg.image_resolution
         g = self.grid.size
@@ -766,9 +845,42 @@ class InfiniteSceneGeneration:
         ks = jnp.asarray(
             np.tile(self.grid.K.astype(np.float32), (self.cfg.effective_num_src, 1, 1))
         )
-        rgb_flat, depth_flat = self._fused_unroll_batched(
-            self.params, rgb_flat, depth_flat, s, plan, ks, rng,
-        )
+        if self.cfg.use_rgbd_integration:
+            volume = create_volume(self.tsdf_cfg, n_scenes=s)
+            if mesh is not None:
+                # scene blocks are contiguous in every flat volume array, so
+                # sharding the leading axis places whole per-scene volumes
+                # per device (same layout argument as rgb_flat above);
+                # stats/frame are batch-global and stay replicated
+                repl = NamedSharding(mesh, PartitionSpec())
+                volume = volume.replace(
+                    grid=jax.device_put(volume.grid, scene_sh),
+                    flags=jax.device_put(volume.flags, scene_sh),
+                    pool_ids=jax.device_put(volume.pool_ids, scene_sh),
+                    cell_counts=jax.device_put(volume.cell_counts, scene_sh),
+                    claim=jax.device_put(volume.claim, scene_sh),
+                    stats=jax.device_put(volume.stats, repl),
+                    frame=jax.device_put(volume.frame, repl),
+                )
+            # fuse the seed frames (shared coords -> one batched integrate
+            # per seed coord at the shared pose)
+            for coord in coords0:
+                idx = self.grid.index(*coord)
+                volume = self._integrate_jit(
+                    volume,
+                    depth_flat.reshape(s, g, h, w)[:, idx],
+                    rgb_flat.reshape(s, g, h, w, 3)[:, idx],
+                    jnp.asarray(self.grid.K, jnp.float32),
+                    jnp.asarray(self.grid.w2c(idx), jnp.float32),
+                )
+            rgb_flat, depth_flat, volume = self._fused_unroll_tsdf_batched(
+                self.params, rgb_flat, depth_flat, volume, s, plan, ks, rng,
+            )
+            self._batched_volume = volume  # telemetry (fusion stats)
+        else:
+            rgb_flat, depth_flat = self._fused_unroll_batched(
+                self.params, rgb_flat, depth_flat, s, plan, ks, rng,
+            )
         return (
             rgb_flat.reshape(s, g, h, w, 3),
             depth_flat.reshape(s, g, h, w),

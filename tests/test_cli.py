@@ -41,6 +41,7 @@ def make_codebook_data(root):
         f.write("\n".join(paths[:2]))
 
 
+@pytest.mark.slow
 def test_train_cli_smoke(tmp_path):
     ddir = str(tmp_path / "data")
     os.makedirs(ddir)

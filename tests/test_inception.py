@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # ~100 s: module fixture builds full InceptionV3
+
 from sgam_neurips22_tpu.utils.inception import (
     convert_torch_inception,
     inception_feature_fn,

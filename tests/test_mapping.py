@@ -54,6 +54,7 @@ def test_integrate_then_rerender_recovers_plane():
         np.testing.assert_allclose(center, 3.0, atol=0.08, err_msg=method)
 
 
+@pytest.mark.slow
 def test_pool_splat_frustum_culling_is_lossless():
     """Static-cell frustum culling must never change the rendered depth:
     compare cull=True against cull=False on the SAME volume (a culled cell
@@ -390,6 +391,7 @@ def test_pool_capacity_beyond_packed_key_limit_chunks():
     np.testing.assert_allclose(center, 3.0, atol=0.08)
 
 
+@pytest.mark.slow
 def test_multi_cell_render_matches_single_cell():
     """Cell partitioning is a pure performance knob: the rendered depth
     from a 4-cell / fine-sub-chunk pool equals the 1-cell / big-chunk pool
@@ -627,3 +629,75 @@ def test_cells_contain_their_pool_entries():
         assert (ax >= lo).all() and (ax < hi).all(), f"cell {ci}"
         checked += live
     assert checked > cfg.pool_capacity // 2, "most slots must be live"
+
+
+def test_batched_volume_matches_per_scene_bit_exact():
+    """A 2-scene batched volume (create_volume(cfg, n_scenes=2)) must fuse
+    and render EXACTLY like two independent single volumes: batching is
+    pure index arithmetic (scene offsets folded into the same scatters),
+    so grids/flags/pools/renders are bit-identical per scene block."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, pool_cells=4, render_chunk=1 << 10)
+    n_vox = int(np.prod(cfg.dims))
+
+    # two different scenes: a flat wall and a tilted wall
+    d0, rgb0 = flat_wall_frame(3.0)
+    ramp = 2.5 + 1.0 * np.linspace(0, 1, W, dtype=np.float32)[None, :]
+    d1 = jnp.asarray(np.broadcast_to(ramp, (H, W)).copy())
+    ext0 = jnp.eye(4)
+    ext1 = jnp.eye(4).at[0, 3].set(0.2)  # slightly shifted camera
+
+    singles = []
+    for d, e in ((d0, ext0), (d1, ext1)):
+        v = create_volume(cfg)
+        v = integrate(v, cfg, d, rgb0, K, e)
+        v = integrate(v, cfg, d, rgb0, K, e)  # second frame: dedup paths
+        singles.append(v)
+
+    batched = create_volume(cfg, n_scenes=2)
+    depth2 = jnp.stack([d0, d1])
+    rgb2 = jnp.stack([rgb0, rgb0])
+    ext2 = jnp.stack([ext0, ext1])
+    batched = integrate(batched, cfg, depth2, rgb2, K, ext2)
+    batched = integrate(batched, cfg, depth2, rgb2, K, ext2)
+
+    for s, v in enumerate(singles):
+        np.testing.assert_array_equal(
+            np.asarray(batched.grid[s * n_vox : (s + 1) * n_vox]),
+            np.asarray(v.grid),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batched.flags[s * n_vox : (s + 1) * n_vox]),
+            np.asarray(v.flags),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(
+                batched.cell_counts[s * cfg.n_cells : (s + 1) * cfg.n_cells]
+            ),
+            np.asarray(v.cell_counts),
+        )
+        # pool ids carry the scene offset in the batched state
+        np.testing.assert_array_equal(
+            np.asarray(batched.pool_ids[s * cfg.capacity : (s + 1) * cfg.capacity])
+            - np.where(
+                np.asarray(v.pool_ids) != 0, s * n_vox, 0
+            ),  # unbooked slots stay 0 in both
+            np.asarray(v.pool_ids),
+        )
+
+    # batched render == per-scene single renders, bit for bit
+    rb = np.asarray(
+        render_depth(batched, cfg, K, ext2, (H, W), near=1.0, far=5.0)
+    )
+    for s, (v, e) in enumerate(zip(singles, (ext0, ext1))):
+        rs = np.asarray(render_depth(v, cfg, K, e, (H, W), near=1.0, far=5.0))
+        np.testing.assert_array_equal(rb[s], rs)
+
+
+def test_batched_integrate_rejects_scene_mismatch():
+    vol = create_volume(CFG, n_scenes=2)
+    d, rgb = flat_wall_frame(3.0)
+    with pytest.raises(ValueError, match="holds 2 scene"):
+        integrate(vol, CFG, jnp.stack([d] * 3), jnp.stack([rgb] * 3), K,
+                  jnp.stack([jnp.eye(4)] * 3))

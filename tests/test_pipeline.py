@@ -225,6 +225,77 @@ def test_batched_scene_expansion(tiny_params):
     assert not np.allclose(np.asarray(rgb_bufs[0, 1]), np.asarray(rgb_bufs[1, 1]))
 
 
+def test_batched_scene_expansion_map_requery(tiny_params):
+    """Batched scenes with TSDF map re-query conditioning (the round-4
+    NotImplementedError at scene_generation.py:719, lifted): S volumes in
+    one batched TSDFVolume, one fused unroll, per-scene outputs distinct
+    and the per-scene map actually fused."""
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2), num_src=2, topk=1,
+        image_resolution=(H, W), use_rgbd_integration=True,
+        tsdf_mem_cap_gb=0.1, tsdf_pool_capacity=1 << 16, raycast_samples=48,
+    )
+    rng = np.random.default_rng(13)
+    seeds_batch = []
+    for _ in range(2):
+        rgb = rng.uniform(-1, 1, (H, W, 3)).astype(np.float32)
+        depth = rng.uniform(8, 14, (H, W)).astype(np.float32)
+        seeds_batch.append([((0, 0), rgb, depth)])
+    gen = InfiniteSceneGeneration(
+        tiny_params, TINY, cfg, seeds=seeds_batch[0], intrinsics=TINY_K
+    )
+    rgb_bufs, depth_bufs = gen.scene_expansion_batched(
+        seeds_batch, jax.random.PRNGKey(0)
+    )
+    assert rgb_bufs.shape == (2, 4, H, W, 3)
+    assert np.isfinite(np.asarray(rgb_bufs)).all()
+    np.testing.assert_allclose(
+        np.asarray(rgb_bufs[0, 0]), seeds_batch[0][0][1], atol=1e-6
+    )
+    assert not np.allclose(np.asarray(rgb_bufs[0, 1]), np.asarray(rgb_bufs[1, 1]))
+    # both per-scene maps fused frames (batched volume kept for telemetry)
+    from sgam_neurips22_tpu.mapping.tsdf import volume_scenes
+
+    vol = gen._batched_volume
+    assert volume_scenes(vol, gen.tsdf_cfg) == 2
+    counts = np.asarray(vol.cell_counts).reshape(2, -1).sum(axis=1)
+    assert (counts > 0).all()
+
+
+@pytest.mark.slow
+def test_batched_map_requery_sharded_over_mesh(tiny_params):
+    """Mesh-sharded batched serving now covers the map-requery mode too:
+    8 scenes' TSDF volumes sharded over the 8-device data mesh, outputs
+    matching the unsharded batched run."""
+    from sgam_neurips22_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(2, 2), num_src=2, topk=1,
+        image_resolution=(H, W), use_rgbd_integration=True,
+        tsdf_mem_cap_gb=0.1, tsdf_pool_capacity=1 << 16, raycast_samples=48,
+    )
+    rng = np.random.default_rng(17)
+    seeds_batch = []
+    for _ in range(8):
+        rgb = rng.uniform(-1, 1, (H, W, 3)).astype(np.float32)
+        depth = rng.uniform(8, 14, (H, W)).astype(np.float32)
+        seeds_batch.append([((0, 0), rgb, depth)])
+    gen = InfiniteSceneGeneration(
+        tiny_params, TINY, cfg, seeds=seeds_batch[0], intrinsics=TINY_K
+    )
+    rgb_sh, _ = gen.scene_expansion_batched(
+        seeds_batch, jax.random.PRNGKey(0), mesh=mesh
+    )
+    assert rgb_sh.shape == (8, 4, H, W, 3)
+    assert np.isfinite(np.asarray(rgb_sh)).all()
+    gen2 = InfiniteSceneGeneration(
+        tiny_params, TINY, cfg, seeds=seeds_batch[0], intrinsics=TINY_K
+    )
+    r2, _ = gen2.scene_expansion_batched(seeds_batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(rgb_sh), np.asarray(r2), atol=1e-6)
+
+
 def test_topk_sampling_pipeline(tiny_params):
     cfg = SceneGenConfig(
         dataset="clevr-infinite", output_dim=(2, 2), num_src=2, topk=4,
@@ -278,6 +349,33 @@ def test_scene_expansion_is_deterministic(tiny_params):
     gen.reset()
     c_rgb, _ = gen.scene_expansion(jax.random.PRNGKey(8))
     assert not np.array_equal(a_rgb, np.asarray(c_rgb))
+
+
+def test_scene_expansion_matches_frozen_golden(tiny_params):
+    """Scene-LEVEL numeric pin: the 3x3 splat unroll at fixed seeds must
+    reproduce tests/goldens/unroll_3x3.npz bit-for-bit on the CPU backend.
+    Module goldens (test_goldens.py) catch per-op drift; this catches drift
+    anywhere in the autoregressive composition (splat -> encode -> quantize
+    -> decode -> buffer write), the surface perf work keeps touching.
+    Regenerate deliberately via tools/freeze_unroll_golden.py when a
+    numerics change is intended."""
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "goldens", "unroll_3x3.npz"
+    )
+    if not os.path.exists(golden_path):
+        pytest.skip("unroll golden not generated")
+    g = np.load(golden_path)
+    cfg = SceneGenConfig(
+        dataset="clevr-infinite", output_dim=(3, 3), num_src=3, topk=1,
+        image_resolution=(H, W),
+    )
+    rgb, depth = make_seed()
+    gen = InfiniteSceneGeneration(
+        tiny_params, TINY, cfg, seeds=[((0, 0), rgb, depth)], intrinsics=TINY_K
+    )
+    rgb_buf, depth_buf = gen.scene_expansion(jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(rgb_buf), g["rgb"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth_buf), g["depth"], atol=1e-4)
 
 
 def test_batched_scene_expansion_sharded_over_mesh(tiny_params):

@@ -157,6 +157,7 @@ def _load_parity_module():
     return mod
 
 
+@pytest.mark.slow
 def test_parity_harness_every_stage_roundtrips(tmp_path):
     """The one-command parity harness (tools/parity_check.py) must pass at
     EVERY stage on an exporter round-trip: params -> torch .ckpt -> converted

