@@ -20,12 +20,25 @@ Differences from the reference (deliberate, SURVEY.md section 5.2):
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from sgam_neurips22_tpu.geometry.camera import inv3x3, pixel2cam
+
+
+def _use_splat_pallas() -> bool:
+    """Opt-in binned Pallas z-buffer merge (SGAM_TPU_SPLAT_PALLAS=1) for
+    the nearest-collision splat — replaces XLA's serial-issue scatter-min
+    (~8.5 ns/element, 2.77 ms/frame at the flagship 327k-point shape) with
+    a VMEM-resident vectorized merge exploiting scanline coherence; output
+    is bit-identical (see ops/splat_pallas.py for the measured defaults)."""
+    flag = os.environ.get("SGAM_TPU_SPLAT_PALLAS")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    return False
 
 
 class SplatResult(NamedTuple):
@@ -145,13 +158,21 @@ def _zbuffer_scatter_batched_nearest(
     key = (z_q << 19) | idx19
     imax = jnp.iinfo(jnp.int32).max
     key = jnp.where(valid, key, imax)
-    batch_off = (jnp.arange(b, dtype=jnp.int32) * n_pix)[:, None]
-    p = jnp.where(valid, pix[..., 1] * w + pix[..., 0] + batch_off, 0)
-    win = (
-        jnp.full((b * n_pix,), imax, jnp.int32)
-        .at[p.reshape(-1)]
-        .min(key.reshape(-1), mode="drop")
-    )
+    if _use_splat_pallas():
+        from sgam_neurips22_tpu.ops.splat_pallas import zbuffer_min
+
+        p_local = jnp.where(valid, pix[..., 1] * w + pix[..., 0], 0)
+        win = zbuffer_min(
+            p_local, key, h, w, interpret=jax.default_backend() != "tpu"
+        ).reshape(-1)
+    else:
+        batch_off = (jnp.arange(b, dtype=jnp.int32) * n_pix)[:, None]
+        p = jnp.where(valid, pix[..., 1] * w + pix[..., 0] + batch_off, 0)
+        win = (
+            jnp.full((b * n_pix,), imax, jnp.int32)
+            .at[p.reshape(-1)]
+            .min(key.reshape(-1), mode="drop")
+        )
     has_point = win != imax
     # reconstruct the global point id from (pixel's batch element, idx19)
     scene = jnp.arange(b * n_pix, dtype=jnp.int32) // n_pix
