@@ -274,6 +274,11 @@ MATRIX = [
     ("vqgan_roundtrip", ["--config", "vqgan"]),
     ("train_codebook", ["--config", "train_codebook"]),
     ("train_conditional", ["--config", "train_conditional"]),
+    # bf16 compute on the same step: the measured-best training recipe
+    # (configs ship flash+f32 for reference-parity numerics; bf16 is the
+    # documented opt-in, NOTES round-4 flash-training table)
+    ("train_conditional_bf16",
+     ["--config", "train_conditional", "--train_dtype", "bfloat16"]),
     ("data_loader", ["--config", "data_loader"]),
 ]
 
