@@ -30,15 +30,20 @@ from sgam_neurips22_tpu.geometry.camera import inv3x3, pixel2cam
 
 
 def _use_splat_pallas() -> bool:
-    """Opt-in binned Pallas z-buffer merge (SGAM_TPU_SPLAT_PALLAS=1) for
-    the nearest-collision splat — replaces XLA's serial-issue scatter-min
-    (~8.5 ns/element, 2.77 ms/frame at the flagship 327k-point shape) with
-    a VMEM-resident vectorized merge exploiting scanline coherence; output
-    is bit-identical (see ops/splat_pallas.py for the measured defaults)."""
+    """Binned Pallas z-buffer merge for the nearest-collision splat —
+    replaces XLA's serial-issue scatter-min (~8.5 ns/element, 2.77 ms/frame
+    at the flagship 327k-point shape) with a VMEM-resident vectorized merge
+    exploiting scanline coherence; output is bit-identical (ops/
+    splat_pallas.py). Default ON for the TPU backend: measured 103.7 ->
+    118.1 fps on the flagship flythrough unroll (v5e, 2026-08-20, NOTES.md
+    round 5 — the kernel wins at production coherence even though the
+    isolated microbench's synthetic worst cases lose). Off-TPU the kernel
+    would run in interpret mode, so the XLA scatter stays the default
+    there. SGAM_TPU_SPLAT_PALLAS=0/1 overrides both ways."""
     flag = os.environ.get("SGAM_TPU_SPLAT_PALLAS")
     if flag is not None:
         return flag not in ("0", "false", "False")
-    return False
+    return jax.default_backend() == "tpu"
 
 
 class SplatResult(NamedTuple):

@@ -23,8 +23,17 @@ sign(sum) == sign(mean) and zero crossings of the sum ARE the fused
 surface). Measured on v5e (NOTES.md round 2): a scalar f32 scatter-add runs
 ~9 ns/element, while a [N, 2]-row scatter hits an ~80 ns/row slow path —
 storing (sum, count) pairs would cost 10x. The observation count is not
-stored at all: 'observed' == sum != 0, and the surface set lives in `flags`
-(uint8, also the pool dedup bitmap). Volume bounds come from `auto_config`
+stored at all: 'observed' == sum != 0. The surface set lives in the POOL
+(`pool_ids` + `cell_counts`); its cross-frame dedup registry is `inpool`,
+a claim-sized hashed table of voxel ids (NOT a per-voxel bitmap: the
+round-4 per-voxel `flags` put two 65k-element scatters into a
+volume-sized array every frame — 11.2 ms/frame page-miss-bound on the
+440M-voxel google_earth volume, the single largest block in the
+map-requery trace. The table is exact-by-value: a bucket registers a
+specific voxel id, so a hash collision can only cause a DUPLICATE pool
+slot — identical render output, slightly more recycling pressure — never
+a wrong value. Volumes that fit the table, including every test volume,
+keep bit-exact round-4 semantics). Volume bounds come from `auto_config`
 (trajectory ∪ viewing-frustum hull, memory-capped); fusion telemetry
 (`vol.stats`) counts valid vs fused samples so truncation is loud, never
 silent.
@@ -246,7 +255,12 @@ class TSDFVolume:
     # the band scatter, each far below memcpy speed. 1-D arrays have a
     # trivial layout, so the scatter updates in place.
     grid: jnp.ndarray
-    flags: jnp.ndarray  # [X*Y*Z] uint8: 1 if the voxel is in the surface pool
+    # [cfg.claim_size] int32 pool-membership registry: bucket
+    # claim_index(v) holds v+1 while (it believes) voxel v is in the pool,
+    # 0 when empty. Exact-by-value (see module docstring): identity-mapped
+    # volumes reproduce the old per-voxel flags bit-for-bit; hashed volumes
+    # trade rare duplicate pool slots for volume-size-independent scatters.
+    inpool: jnp.ndarray
     # [n_cells * cell_cap] int32 linear voxel ids; cell k owns the slot
     # range [k * cell_cap, (k+1) * cell_cap) and only stores voxels whose
     # split-axis coordinate lies in that cell's static slab — the splat's
@@ -298,7 +312,7 @@ def create_volume(cfg: TSDFConfig, n_scenes: int = 1) -> TSDFVolume:
     s = int(n_scenes)
     return TSDFVolume(
         grid=jnp.zeros(s * x * y * z, jnp.float32),
-        flags=jnp.zeros(s * x * y * z, jnp.uint8),
+        inpool=jnp.zeros(s * cfg.claim_size, jnp.int32),
         pool_ids=jnp.zeros(s * cfg.capacity, jnp.int32),
         cell_counts=jnp.zeros(s * cfg.n_cells, jnp.int32),
         stats=jnp.zeros(4, jnp.float32),
@@ -370,8 +384,8 @@ def auto_config(
     while True:
         dims = np.maximum(np.ceil((hi_b - lo_b) / vox).astype(int), 4)
         n_vox = int(np.prod(dims))
-        # grid f32 + flags u8 + claim table i32 (hash-capped at 2^24 slots)
-        mem = n_vox * (4 + 1) + min(n_vox, 1 << 24) * 4
+        # grid f32 + claim & inpool tables i32 (each hash-capped at 2^24)
+        mem = n_vox * 4 + 2 * min(n_vox, 1 << 24) * 4
         if mem <= mem_cap_bytes and n_vox < 2**31:
             break
         vox *= 2 ** (1.0 / 3.0)
@@ -563,7 +577,11 @@ def integrate(
         jnp.where(cand_ok, own, 0).reshape(-1)
     )
     first = cand_ok & (claim[cslot] == own)
-    new = first & (vol.flags[cand] == 0)
+    # cross-frame pool dedup through the hashed registry (same slot indexing
+    # as the claim): ONE gather from a claim-sized table instead of the
+    # round-4 volume-sized flags array, whose 65k-element scatters were the
+    # map-requery trace's largest block (module docstring)
+    new = first & (vol.inpool[cslot] != cand_lo + 1)
 
     # --- spatial-cell slot allocation: a candidate voxel always books a
     # slot inside its own slab's cell (see TSDFConfig.pool_cells), so the
@@ -587,28 +605,42 @@ def integrate(
     # is dropped and counted either way.
     fits = new & (slots < counts + cell_cap)
     pool_oob = vol.pool_ids.shape[0]  # definitely-dropped scatter index
+    inpool_oob = vol.inpool.shape[0]  # definitely-dropped scatter index
     if cfg.pool_recycle:
         # full cell: recycle its OLDEST slots (per-cell ring buffer) so the
         # newest observed surface always enters the map — bounded-memory
-        # parity with the reference's unbounded ScalableTSDFVolume. Evict
-        # the current occupants of reused slots (clear their dedup flag) so
-        # the evicted voxels can re-enter when next observed. Evicted ids
-        # are disjoint from this frame's additions (fits requires
-        # flags == 0; occupants have flags == 1), so the flag updates
-        # commute.
+        # parity with the reference's unbounded ScalableTSDFVolume.
+        # Deregister the current occupants of reused slots (clear their
+        # registry bucket) so the evicted voxels can re-enter when next
+        # observed. Evicted ids are disjoint from this frame's additions
+        # (additions read "not registered"; occupants are registered), so
+        # on identity-mapped volumes the registry updates commute; on
+        # hashed volumes the add runs AFTER the clear and wins the bucket.
         slot = jnp.where(fits, gcell * cell_cap + slots % cell_cap, pool_oob)
         reused = fits & (slots >= cell_cap)
-        oob = vol.flags.shape[0]  # definitely-dropped scatter index
-        evict = jnp.where(reused, vol.pool_ids[slot], oob)
-        flags0 = vol.flags.at[evict.reshape(-1)].set(0, mode="drop")
+        evict = vol.pool_ids[slot] - scene_off[..., 0, 0]  # within-scene ids
+        eslot = jnp.where(
+            reused, cfg.claim_index(evict) + claim_off, inpool_oob
+        )
+        # .min(0): identical to set(0) for the non-negative registry values,
+        # but deterministic under duplicate bucket indices (hash collisions)
+        inpool0 = vol.inpool.at[eslot.reshape(-1)].min(
+            jnp.zeros(eslot.size, jnp.int32), mode="drop"
+        )
         n_recycled = jnp.sum(reused.astype(jnp.float32))
     else:
         fits = fits & (slots < cell_cap)
         slot = jnp.where(fits, gcell * cell_cap + slots, pool_oob)
-        flags0 = vol.flags
+        inpool0 = vol.inpool
         n_recycled = jnp.float32(0.0)
     pool_ids = vol.pool_ids.at[slot.reshape(-1)].set(cand.reshape(-1), mode="drop")
-    flags = flags0.at[cand.reshape(-1)].max(fits.astype(jnp.uint8).reshape(-1))
+    # register this frame's additions: .max keeps the scatter deterministic
+    # when distinct voxels hash-collide in one frame (the bigger id wins the
+    # bucket; the loser re-enters as a duplicate slot when next observed)
+    aslot = jnp.where(fits, cslot, inpool_oob)
+    inpool = inpool0.at[aslot.reshape(-1)].max(
+        (cand_lo + 1).reshape(-1), mode="drop"
+    )
     n_dropped = jnp.sum((new & ~fits).astype(jnp.float32))
     dropped_per_cell = jnp.sum(
         (onehot & (new & ~fits)[..., None]).astype(jnp.int32), axis=1
@@ -616,7 +648,7 @@ def integrate(
 
     return TSDFVolume(
         grid=grid,
-        flags=flags,
+        inpool=inpool,
         pool_ids=pool_ids,
         cell_counts=vol.cell_counts + (booked - dropped_per_cell).reshape(-1),
         stats=vol.stats + jnp.stack([n_valid, n_fused, n_dropped, n_recycled]),
@@ -991,21 +1023,26 @@ def extract_points(
     vol: TSDFVolume, cfg: TSDFConfig, max_abs_tsdf: float = 1.0, scene: int = 0
 ):
     """Surface point cloud (the reference's `volume.extract_point_cloud()`
-    -> .ply, inference_pipeline.py:447): the flagged surface voxels (the
-    band samples straddling a measured depth), optionally filtered to
-    |clipped sum| < max_abs_tsdf. Host-side; colors via `colorize_points`
-    (gray if never colorized). `scene` selects one block of a batched
-    volume."""
-    o = cfg.axis_order
-    layout_dims = tuple(cfg.dims[a] for a in o)
+    -> .ply, inference_pipeline.py:447): the LIVE surface-pool voxels (the
+    band samples straddling a measured depth; exactly the set the splat
+    renderer draws from), optionally filtered to |clipped sum| <
+    max_abs_tsdf. Host-side; colors via `colorize_points` (gray if never
+    colorized). `scene` selects one block of a batched volume."""
     n_vox = int(np.prod(cfg.dims))
-    sl = slice(scene * n_vox, (scene + 1) * n_vox)
-    flags = np.asarray(vol.flags[sl]).reshape(layout_dims) != 0
-    g = np.asarray(vol.grid[sl]).reshape(layout_dims)
-    mask = flags & (np.abs(np.clip(g, -1.0, 1.0)) < max_abs_tsdf + 1e-9)
-    idx = np.argwhere(mask)  # coords in LAYOUT order -> back to world order
-    inv = np.argsort(o)
-    idx = idx[:, inv]
+    ids = np.asarray(vol.pool_ids).reshape(-1, cfg.n_cells, cfg.cell_cap)[scene]
+    counts = np.asarray(vol.cell_counts).reshape(-1, cfg.n_cells)[scene]
+    live = np.minimum(counts, cfg.cell_cap)
+    sel = [ids[c, : live[c]] for c in range(cfg.n_cells) if live[c] > 0]
+    if not sel:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+    # pool ids store scene-offset linear ids; duplicates are possible on
+    # hash-collided registrations (hashed volumes only) — unique() folds them
+    lin = np.unique(np.concatenate(sel)) - scene * n_vox
+    g = np.asarray(vol.grid[scene * n_vox : (scene + 1) * n_vox])
+    keep = np.abs(np.clip(g[lin], -1.0, 1.0)) < max_abs_tsdf + 1e-9
+    lin = lin[keep]
+    x, y, z = cfg.unlin_index(lin)
+    idx = np.stack([x, y, z], axis=-1)
     pts = (idx + 0.5) * cfg.voxel_size + np.asarray(cfg.origin)
     cols = np.full((len(pts), 3), 0.5, np.float32)
     return pts.astype(np.float32), cols

@@ -855,7 +855,7 @@ class InfiniteSceneGeneration:
                 repl = NamedSharding(mesh, PartitionSpec())
                 volume = volume.replace(
                     grid=jax.device_put(volume.grid, scene_sh),
-                    flags=jax.device_put(volume.flags, scene_sh),
+                    inpool=jax.device_put(volume.inpool, scene_sh),
                     pool_ids=jax.device_put(volume.pool_ids, scene_sh),
                     cell_counts=jax.device_put(volume.cell_counts, scene_sh),
                     claim=jax.device_put(volume.claim, scene_sh),

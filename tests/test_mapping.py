@@ -210,8 +210,12 @@ def test_pool_recycle_evicts_oldest_keeps_newest():
     assert int(vol.pool_count) > cap  # lifetime count keeps ring position
     live = np.unique(np.asarray(vol.pool_ids))
     assert live.size == cap  # all slots occupied by DISTINCT voxels
-    flagged = np.flatnonzero(np.asarray(vol.flags))
-    np.testing.assert_array_equal(np.sort(live), flagged)
+    # the registry tracks exactly the live set (identity-mapped volume:
+    # bucket v holds v+1 iff voxel v is in the pool)
+    inpool = np.asarray(vol.inpool)
+    registered = np.flatnonzero(inpool)
+    np.testing.assert_array_equal(inpool[registered] - 1, registered)
+    np.testing.assert_array_equal(np.sort(live), registered)
     rendered = np.asarray(
         render_depth(vol, cfg, K, jnp.eye(4), (H, W), near=1.0, far=5.0)
     )
@@ -668,8 +672,10 @@ def test_batched_volume_matches_per_scene_bit_exact():
             np.asarray(v.grid),
         )
         np.testing.assert_array_equal(
-            np.asarray(batched.flags[s * n_vox : (s + 1) * n_vox]),
-            np.asarray(v.flags),
+            np.asarray(
+                batched.inpool[s * cfg.claim_size : (s + 1) * cfg.claim_size]
+            ),
+            np.asarray(v.inpool),
         )
         np.testing.assert_array_equal(
             np.asarray(

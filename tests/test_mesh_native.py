@@ -26,7 +26,7 @@ def sphere_volume(n=48, radius=1.0):
     tsdf = np.where(tsdf == 0.0, 1e-6, tsdf)
     vol = TSDFVolume(
         grid=tsdf.reshape(-1),
-        flags=np.zeros(n * n * n, np.uint8),
+        inpool=np.zeros(cfg.claim_size, np.int32),
         pool_ids=np.zeros(cfg.capacity, np.int32),
         cell_counts=np.zeros(cfg.n_cells, np.int32),
         stats=np.zeros(4, np.float32),

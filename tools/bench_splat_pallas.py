@@ -15,6 +15,21 @@ that floor at the production shape, under three depth regimes:
   image — the kernel's pathological bound (XLA scatter should win here).
 
 Usage: python tools/bench_splat_pallas.py  (real TPU; one line per case)
+
+DECISION RECORD (v5e, 2026-08-20, round 5): this microbench's XLA column
+is NOT representative — the isolated scatter-min with make_case's ~130k
+invalid points sanitized to pixel 0 hits XLA:TPU's catastrophic
+duplicate-combining path (~38 SECONDS per call at B=1, vs 2.77 ms for the
+same-shape scatter inside the fused production unroll, where the compiler
+chooses the serial-issue lowering). The kernel itself ran 5.68 ms at B=1
+on the synthetic 'coherent' (+-5-row sinusoid) case — slower than the
+production scatter, as its cost model predicts (~w*(1+2*span) VPU ops per
+point). The decision therefore came from the PRODUCTION benchmark, where
+real unroll geometry has much narrower spans: `SGAM_TPU_SPLAT_PALLAS=1
+python bench.py --config flythrough` measured 103.7 -> 118.1 fps (+14%),
+so the kernel is default-ON for the TPU backend (geometry/splat.py).
+Keep using the production bench for this decision; the synthetic regimes
+below only bound the kernel's degradation, not XLA's true cost.
 """
 from __future__ import annotations
 
@@ -33,7 +48,7 @@ from sgam_neurips22_tpu.ops.splat_pallas import zbuffer_min
 IMAX = np.iinfo(np.int32).max
 
 
-def timed(fn, *args, n=50):
+def timed(fn, *args, n=10):
     fn(*args).block_until_ready()
     t0 = time.perf_counter()
     for _ in range(n):
@@ -109,7 +124,9 @@ def main() -> None:
     for b in (1, 8):
         for kind in ("coherent", "noisy", "adversarial"):
             pix, key = make_case(kind, b)
-            t_x = timed(xla_scatter, pix, key)
+            # n=1: the isolated XLA scatter hits the ~38 s/call duplicate-
+            # combining path here (see DECISION RECORD) — not worth averaging
+            t_x = timed(xla_scatter, pix, key, n=1)
             t_p = timed(pallas, pix, key)
             same = bool(
                 np.array_equal(
