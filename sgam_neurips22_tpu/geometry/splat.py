@@ -182,12 +182,17 @@ def _zbuffer_scatter_batched_nearest(
     # reconstruct the global point id from (pixel's batch element, idx19)
     scene = jnp.arange(b * n_pix, dtype=jnp.int32) // n_pix
     safe_idx = jnp.where(has_point, scene * p_count + (win & ((1 << 19) - 1)), 0)
-    zf = z.reshape(-1)
-    ff = feats.reshape(-1, feats.shape[-1])
-    depth = jnp.where(has_point, zf[safe_idx], 0.0).reshape(b, h, w, 1)
-    feats_img = jnp.where(has_point[:, None], ff[safe_idx], 0.0).reshape(
-        b, h, w, feats.shape[-1]
+    # ONE [z | feats] row gather: the round-5 train roofline measured the
+    # scalar depth gather at 22.4 ms/step (bs 16) while the same-size
+    # 3-wide feats ROW gather ran 6.4 ms — row gathers move 16 B per issue,
+    # scalar f32 gathers 4 B. Folding z into the rows makes the depth
+    # column ride along for free.
+    pay = jnp.concatenate(
+        [z.reshape(-1, 1), feats.reshape(-1, feats.shape[-1])], axis=-1
     )
+    won = jnp.where(has_point[:, None], pay[safe_idx], 0.0)
+    depth = won[:, :1].reshape(b, h, w, 1)
+    feats_img = won[:, 1:].reshape(b, h, w, feats.shape[-1])
     return depth, feats_img
 
 

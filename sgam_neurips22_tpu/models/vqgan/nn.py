@@ -69,19 +69,35 @@ def conv2d(
 def group_norm(
     x: jnp.ndarray, p: Params, num_groups: int = 32, eps: float = 1e-6
 ) -> jnp.ndarray:
-    """GroupNorm(32, eps=1e-6) over NHWC (reference Normalize, model.py:34)."""
+    """GroupNorm(32, eps=1e-6) over NHWC (reference Normalize, model.py:34).
+
+    Group statistics are composed from per-CHANNEL moments instead of
+    reshaping the activation to [B, H, W, G, C/G]: splitting the lane
+    (channel) axis retiles the tensor, and XLA materialized that relayout
+    as a physical copy of every conv output — measured 80 ms/step of pure
+    'data formatting' copies on the bs-16 conditional train trace (round-5
+    roofline, the largest single block). A group's mean is the mean of its
+    channels' means (equal pixel counts), and the variance comes from the
+    standard two-pass form E[(x - mean_g)^2] composed the same way — so
+    the math is the torch semantics exactly, up to fp summation order
+    (parity pinned at 1e-4 vs torch.nn.functional.group_norm,
+    tests/test_vqgan.py)."""
     b, h, w, c = x.shape
     if c % num_groups != 0:
         raise ValueError(
             f"GroupNorm: channels ({c}) must be divisible by num_groups "
             f"({num_groups}); pick ch as a multiple of 32 (reference model.py:34)"
         )
-    xg = x.reshape(b, h, w, num_groups, c // num_groups).astype(jnp.float32)
-    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-    var = xg.var(axis=(1, 2, 4), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xn = xg.reshape(b, h, w, c)
-    return (xn * p["weight"] + p["bias"]).astype(x.dtype)
+    cg = c // num_groups
+    xf = x.astype(jnp.float32)
+    s1 = xf.mean(axis=(1, 2))  # [B, C] per-channel means, native layout
+    gm = s1.reshape(b, num_groups, cg).mean(axis=2)  # [B, G]
+    mean_c = jnp.repeat(gm, cg, axis=1)[:, None, None, :]  # [B, 1, 1, C]
+    d = xf - mean_c
+    v1 = (d * d).mean(axis=(1, 2))  # [B, C] per-channel second moments
+    gv = v1.reshape(b, num_groups, cg).mean(axis=2)  # [B, G]
+    inv_c = jnp.repeat(jax.lax.rsqrt(gv + eps), cg, axis=1)[:, None, None, :]
+    return ((d * inv_c) * p["weight"] + p["bias"]).astype(x.dtype)
 
 
 def upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:
