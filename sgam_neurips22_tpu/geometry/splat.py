@@ -29,20 +29,25 @@ import jax.numpy as jnp
 from sgam_neurips22_tpu.geometry.camera import inv3x3, pixel2cam
 
 
-def _use_splat_pallas() -> bool:
+def _use_splat_pallas(override: bool | None = None) -> bool:
     """Binned Pallas z-buffer merge for the nearest-collision splat —
     replaces XLA's serial-issue scatter-min (~8.5 ns/element, 2.77 ms/frame
     at the flagship 327k-point shape) with a VMEM-resident vectorized merge
     exploiting scanline coherence; output is bit-identical (ops/
-    splat_pallas.py). Default ON for the TPU backend: measured 103.7 ->
-    118.1 fps on the flagship flythrough unroll (v5e, 2026-08-20, NOTES.md
-    round 5 — the kernel wins at production coherence even though the
-    isolated microbench's synthetic worst cases lose). Off-TPU the kernel
-    would run in interpret mode, so the XLA scatter stays the default
-    there. SGAM_TPU_SPLAT_PALLAS=0/1 overrides both ways."""
+    splat_pallas.py). The kernel's cost scales with the actual target-row
+    spans, so the win is GEOMETRY-dependent (v5e, 2026-08-20, NOTES.md
+    round 5): CLEVR's lateral grid motion keeps spans narrow (flythrough
+    103.7 -> 118.1 fps) while google_earth's forward motion spreads them
+    (123.4 -> 90.5 fps — the kernel LOSES there). Resolution order:
+    SGAM_TPU_SPLAT_PALLAS=0/1 (overrides everything, both ways), then the
+    caller's `override` (models/conditioning.py carries the per-dataset
+    measured default), then the backend default (ON for TPU; off-TPU the
+    kernel would run in interpret mode, so XLA scatter stays)."""
     flag = os.environ.get("SGAM_TPU_SPLAT_PALLAS")
     if flag is not None:
         return flag not in ("0", "false", "False")
+    if override is not None:
+        return override
     return jax.default_backend() == "tpu"
 
 
@@ -135,6 +140,7 @@ def _zbuffer_scatter_batched_nearest(
     valid: jnp.ndarray,
     h: int,
     w: int,
+    pallas: bool | None = None,
 ):
     """Whole-batch packed z-buffer: ONE scatter-min over [B*H*W] with the
     batch folded into the pixel index (measured: vmapping the per-image
@@ -163,7 +169,7 @@ def _zbuffer_scatter_batched_nearest(
     key = (z_q << 19) | idx19
     imax = jnp.iinfo(jnp.int32).max
     key = jnp.where(valid, key, imax)
-    if _use_splat_pallas():
+    if _use_splat_pallas(pallas):
         from sgam_neurips22_tpu.ops.splat_pallas import zbuffer_min
 
         p_local = jnp.where(valid, pix[..., 1] * w + pix[..., 0], 0)
@@ -297,6 +303,7 @@ def render_projection_from_srcs(
     depth_range: tuple[float, float] | None = None,
     collision: str = "nearest",
     splat_stride: int = 1,
+    pallas: bool | None = None,
 ) -> SplatResult:
     """Forward-splat N source RGB(-D) views into the target view.
 
@@ -380,7 +387,7 @@ def render_projection_from_srcs(
     if collision == "nearest":
         # one whole-batch scatter (vmap over the scatter serializes on TPU)
         raw_depth, raw_feats = _zbuffer_scatter_batched_nearest(
-            pix, zs, feats, valid, h, w
+            pix, zs, feats, valid, h, w, pallas=pallas
         )
     else:
         # the reference's serial write order is pixel-major (point (p, n)

@@ -28,6 +28,17 @@ class Conditioning(NamedTuple):
     warped_disparity: jnp.ndarray  # [B, H, W, 1] in [-1,1] (-2 masked)
 
 
+# Per-dataset default for the binned Pallas splat z-buffer (bit-identical
+# output; geometry-dependent SPEED, measured on v5e 2026-08-20, NOTES.md
+# round 5): the kernel's cost scales with per-chunk target-row spans.
+# CLEVR's lateral grid motion keeps spans narrow -> kernel wins (+14%
+# flythrough); google_earth's forward motion spreads points radially ->
+# kernel loses (123.4 -> 90.5 fps), so GE keeps the XLA scatter. Unlisted
+# datasets fall through to the backend default (ON for TPU).
+# SGAM_TPU_SPLAT_PALLAS=0/1 still overrides everything both ways.
+SPLAT_PALLAS_DATASET_DEFAULT = {"google_earth": False}
+
+
 def get_x(
     batch: dict,
     dataset: str,
@@ -70,6 +81,7 @@ def get_x(
             depth_range=depth_range,
             collision=collision,
             splat_stride=splat_stride,
+            pallas=SPLAT_PALLAS_DATASET_DEFAULT.get(dataset),
         )
         feats = res.features
         warped_depth = res.depth
