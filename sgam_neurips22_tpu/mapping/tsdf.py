@@ -40,6 +40,7 @@ silent.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -63,6 +64,30 @@ MAX_POOL_CAPACITY = 1 << _POOL_IDX_BITS
 # `fusion_fraction` reports it and the pipeline warns.
 _CLAIM_POS_BITS = 18
 CLAIM_MAX_FRAMES = (1 << (31 - _CLAIM_POS_BITS)) - 1  # 8191
+
+
+def _use_pool_splat_pallas(override: Optional[bool] = None) -> bool:
+    """Route the pool-splat z-buffer through the binned Pallas min-merge
+    (ops/splat_pallas.py) instead of per-chunk XLA scatter-mins. Output is
+    bit-identical (same per-chunk winner keys, same merge); SPEED depends on
+    how row-coherent consecutive pool slots project — slots book in ray
+    scanline order within a frame, so bulk bookings are coherent, but
+    cross-frame seams, sparse late bookings, and above all RECYCLING (ring
+    overwrites interleave booking frames within a kernel chunk) widen
+    spans. Measured on v5e (2026-08-20, NOTES.md round 5): CLEVR
+    map-requery 22.2 -> 24.2 fps (+9%, modest recycling, 57k slots); GE
+    30-frame a wash (27.5 vs 27.6); GE 100-frame (1.2M recycled slots)
+    catastrophically slower — the run exceeded 4x the XLA wall clock and
+    was killed, so google_earth keeps the XLA scatter. Resolution:
+    SGAM_TPU_TSDF_POOL_PALLAS=0/1 (overrides everything, both ways), then
+    the caller's `override` (the pipeline carries the per-dataset measured
+    default), then OFF."""
+    flag = os.environ.get("SGAM_TPU_TSDF_POOL_PALLAS")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    if override is not None:
+        return override
+    return False
 
 
 def validate_ray_budget(image_size: Tuple[int, int], stride: int) -> None:
@@ -723,6 +748,7 @@ def _render_depth_splat(
     far: float,
     refine: bool = True,
     cull: bool = True,
+    pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Target-view z-depth by splatting the surface-voxel pool through one
     packed scatter-min z-buffer (12-bit quantized z + 20-bit pool index in a
@@ -812,13 +838,19 @@ def _render_depth_splat(
     best = None
     chunk_sel = jnp.zeros((ns * h * w,), jnp.int32)
     starts = []  # within-scene pool offset of each sub-chunk (static)
+    use_pallas = _use_pool_splat_pallas(pallas)
+    pallas_pk = []  # per-sub-chunk (pix, key) when the Pallas merge is on
     for ci in range(cfg.n_cells):
         live = jnp.minimum(counts[:, ci], cell_cap)  # [S]
         for k in range(-(-cell_cap // chunk)):
             c0 = ci * cell_cap + k * chunk
             c1 = min(c0 + chunk, (ci + 1) * cell_cap)
 
-            def scatter_chunk(c0=c0, c1=c1, k=k, live=live, ci=ci):
+            def chunk_pix_key(c0=c0, c1=c1, k=k, live=live, ci=ci, pad=False):
+                """This sub-chunk's (local pixel ids [S, N], packed uint32
+                keys [S, N]); invalid points carry pixel 0 / sentinel key.
+                pad=True right-pads a cell's short tail sub-chunk to `chunk`
+                (fixed shapes for the stacked Pallas batch)."""
                 vid = ids[:, c0:c1] - scene_off  # within-scene voxel ids
                 cam = cam_coords(vid)  # [S, chunk, 3]
                 z = cam[..., 2]
@@ -838,7 +870,7 @@ def _render_depth_splat(
                     & (z < far)
                     & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
                 )
-                pix = jnp.where(valid, vi * w + ui + pix_scene_off, 0)
+                pix = jnp.where(valid, vi * w + ui, 0)
                 zq = jnp.clip(
                     (z - near) / (far - near) * 4095.0, 0, 4095
                 ).astype(jnp.uint32)
@@ -846,14 +878,36 @@ def _render_depth_splat(
                     c1 - c0, dtype=jnp.uint32
                 )[None]
                 key = jnp.where(valid, key, sentinel)
+                if pad and c1 - c0 < chunk:
+                    padw = ((0, 0), (0, chunk - (c1 - c0)))
+                    pix = jnp.pad(pix, padw)
+                    key = jnp.pad(key, padw, constant_values=sentinel)
+                return pix, key
+
+            gate = jnp.any((live > k * chunk) & visible[:, ci])
+            if use_pallas:
+                # defer: one zbuffer_min call merges every sub-chunk below
+                pallas_pk.append(jax.lax.cond(
+                    gate,
+                    lambda f=chunk_pix_key: f(pad=True),
+                    lambda: (
+                        jnp.zeros((ns, chunk), jnp.int32),
+                        jnp.full((ns, chunk), sentinel, jnp.uint32),
+                    ),
+                ))
+                starts.append(c0)
+                continue
+
+            def scatter_chunk(f=chunk_pix_key):
+                pix, key = f()
                 return (
                     jnp.full((ns * h * w,), sentinel, jnp.uint32)
-                    .at[pix.reshape(-1)]
+                    .at[(pix + pix_scene_off).reshape(-1)]
                     .min(key.reshape(-1), mode="drop")
                 )
 
             win = jax.lax.cond(
-                jnp.any((live > k * chunk) & visible[:, ci]),
+                gate,
                 scatter_chunk,
                 lambda: jnp.full((ns * h * w,), sentinel, jnp.uint32),
             )
@@ -863,6 +917,34 @@ def _render_depth_splat(
                 chunk_sel = jnp.where(win < best, len(starts), chunk_sel)
                 best = jnp.minimum(best, win)
             starts.append(c0)
+    if use_pallas:
+        # ONE binned Pallas z-buffer call over every (sub-chunk, scene) as
+        # the kernel batch axis (ops/splat_pallas.py — same kernel as the
+        # geometry splat), then the SAME uint32 min + chunk_sel merge as the
+        # XLA path: per-chunk winner images are bit-identical to the
+        # per-chunk scatter-min (the kernel's contract), so the final depth
+        # is too. uint32 keys ride the int32 kernel through a sign-bit flip
+        # (order-preserving; the 0xFFFFFFFF sentinel maps exactly to the
+        # kernel's INT32_MAX empty marker).
+        from sgam_neurips22_tpu.ops.splat_pallas import zbuffer_min
+
+        nck = len(pallas_pk)
+        pix_all = jnp.stack([p for p, _ in pallas_pk]).reshape(nck * ns, chunk)
+        key_all = jnp.stack([kk for _, kk in pallas_pk]).reshape(nck * ns, chunk)
+        key_i = jax.lax.bitcast_convert_type(
+            key_all ^ jnp.uint32(0x80000000), jnp.int32
+        )
+        win_i = zbuffer_min(
+            pix_all, key_i, h, w, interpret=jax.default_backend() != "tpu"
+        )
+        wins = (
+            jax.lax.bitcast_convert_type(win_i, jnp.uint32)
+            ^ jnp.uint32(0x80000000)
+        ).reshape(nck, ns * h * w)
+        best = wins[0]
+        for i in range(1, nck):
+            chunk_sel = jnp.where(wins[i] < best, i, chunk_sel)
+            best = jnp.minimum(best, wins[i])
     has = best != sentinel
     idx = jnp.where(
         has,
@@ -993,6 +1075,7 @@ def render_depth(
     method: str = "splat",
     interp: str = "nearest",
     refine: bool = True,
+    pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Render the map's z-depth at a target pose [H, W] (0 = no surface).
 
@@ -1008,7 +1091,8 @@ def render_depth(
         )
     if method == "splat":
         return _render_depth_splat(
-            vol, cfg, intrinsics, extrinsic, image_size, near, far, refine=refine
+            vol, cfg, intrinsics, extrinsic, image_size, near, far,
+            refine=refine, pallas=pallas,
         )
     return _render_depth_raycast(
         vol, cfg, intrinsics, extrinsic, image_size, near, far,

@@ -28,6 +28,7 @@ attention cost there.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -278,12 +279,19 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(C)) v for single-head [B, S, C] tensors.
 
     Differentiable (custom VJP, FlashAttention-style recomputation): usable
-    in training steps; no [S, S] buffer in forward or backward."""
+    in training steps; no [S, S] buffer in forward or backward.
+
+    Block sizes default to 512x512 and can be overridden per-call or via
+    SGAM_TPU_FLASH_BLOCK_Q / SGAM_TPU_FLASH_BLOCK_K for sweeps."""
+    if block_q is None:
+        block_q = int(os.environ.get("SGAM_TPU_FLASH_BLOCK_Q", "512"))
+    if block_k is None:
+        block_k = int(os.environ.get("SGAM_TPU_FLASH_BLOCK_K", "512"))
     return _flash_attention(q, k, v, block_q, block_k, interpret)

@@ -65,6 +65,15 @@ from sgam_neurips22_tpu.pipeline.trajectory import (
 
 # reference num_src defaults (inference_pipeline.py:68,90)
 DEFAULT_NUM_SRC = {"clevr-infinite": 5, "google_earth": 3}
+# Per-dataset measured default for routing the map-requery pool splat
+# through the binned Pallas z-buffer merge (tsdf._use_pool_splat_pallas;
+# output bit-identical, speed coherence-dependent — v5e, 2026-08-20,
+# NOTES.md round 5): CLEVR 22.2 -> 24.2 fps (+9%); google_earth DEGRADES
+# (its 1.2M ring-recycled slots interleave booking frames inside kernel
+# chunks -> near-full-height row spans), so it keeps the XLA scatter.
+# Unlisted datasets fall through to OFF; SGAM_TPU_TSDF_POOL_PALLAS=0/1
+# overrides everything both ways.
+POOL_SPLAT_PALLAS_DATASET_DEFAULT = {"clevr-infinite": True}
 # reference TSDF parameters (inference_pipeline.py:120-131). google_earth
 # additionally caps the surface pool at 2^20 slots: its forward 100x1
 # trajectory never re-queries surface behind the camera and its true
@@ -419,6 +428,7 @@ class InfiniteSceneGeneration:
             volume, self.tsdf_cfg, ks[0], tgt_w2c, (h, w),
             near=near, far=far, n_samples=self.cfg.raycast_samples,
             method=self.cfg.requery_method, interp=self.cfg.raycast_interp,
+            pallas=POOL_SPLAT_PALLAS_DATASET_DEFAULT.get(self.cfg.dataset),
         )
         warped = inverse_warp_multi_src(
             rgb_buf[src_idx][None],
@@ -531,6 +541,7 @@ class InfiniteSceneGeneration:
             jnp.broadcast_to(tgt_w2c[None], (s, 4, 4)), (h, w),
             near=near, far=far, n_samples=self.cfg.raycast_samples,
             method=self.cfg.requery_method, interp=self.cfg.raycast_interp,
+            pallas=POOL_SPLAT_PALLAS_DATASET_DEFAULT.get(self.cfg.dataset),
         )  # [S, H, W]
         warped = inverse_warp_multi_src(
             rgb_flat[flat_idx],

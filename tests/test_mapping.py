@@ -707,3 +707,41 @@ def test_batched_integrate_rejects_scene_mismatch():
     with pytest.raises(ValueError, match="holds 2 scene"):
         integrate(vol, CFG, jnp.stack([d] * 3), jnp.stack([rgb] * 3), K,
                   jnp.stack([jnp.eye(4)] * 3))
+
+
+def test_pool_splat_pallas_path_bit_exact(monkeypatch):
+    """SGAM_TPU_TSDF_POOL_PALLAS=1 routes the pool splat through the binned
+    Pallas z-buffer merge (interpret mode off-TPU); the rendered depth must
+    be BIT-identical to the XLA per-chunk scatter-min path — multi-cell,
+    multi-sub-chunk, multi-frame pool, shifted target pose (so ties and
+    cross-cell merges are exercised), plus a batched volume."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, pool_cells=3, render_chunk=1 << 10)
+    d, rgb = flat_wall_frame(3.0)
+    d2, _ = flat_wall_frame(2.4)
+    vol = create_volume(cfg)
+    shift = np.eye(4, dtype=np.float32)
+    shift[0, 3] = 0.35  # second frame from a shifted pose: multi-frame pool
+    for dd, ext in ((d, jnp.eye(4)), (d2, jnp.asarray(shift))):
+        vol = integrate(vol, cfg, dd, rgb, K, ext)
+    target = jnp.asarray(shift)
+
+    bvol = create_volume(cfg, n_scenes=2)
+    bvol = integrate(
+        bvol, cfg,
+        jnp.stack([d, d2]), jnp.stack([rgb, rgb]), K,
+        jnp.stack([jnp.eye(4), jnp.asarray(shift)]),
+    )
+    bexts = jnp.stack([target, jnp.eye(4)])
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("SGAM_TPU_TSDF_POOL_PALLAS", flag)
+        outs[flag] = (
+            np.asarray(render_depth(vol, cfg, K, target, (H, W), 1.0, 5.0)),
+            np.asarray(render_depth(bvol, cfg, K, bexts, (H, W), 1.0, 5.0)),
+        )
+    assert (outs["0"][0] > 0).any()
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+    np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
