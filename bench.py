@@ -271,6 +271,10 @@ MATRIX = [
      ["--config", "google_earth", "--rgbd_integration", "--frames", "100",
       "--coherent"]),
     ("batched_8_scenes", ["--batch_scenes", "8", "--frames", "48"]),
+    # batched map-requery: 8 per-scene TSDF volumes in ONE batched state
+    # (VERDICT r4 #3 — the serving mode the mapping subsystem exists for)
+    ("batched_8_scenes_tsdf",
+     ["--batch_scenes", "8", "--frames", "48", "--rgbd_integration"]),
     ("vqgan_roundtrip", ["--config", "vqgan"]),
     ("train_codebook", ["--config", "train_codebook"]),
     ("train_conditional", ["--config", "train_conditional"]),
